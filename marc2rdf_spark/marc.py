@@ -1,0 +1,240 @@
+"""MARC record model + parsers (MARCXML / marcxchange / binary ISO 2709).
+
+Plain-Python, dependency-light, and vectorization-friendly: the same
+functions run on the driver (tests, golden generation) and inside
+Arrow-batched ``mapInPandas`` workers (marc2rdf_spark.sources).
+
+Reference semantics mirrored (studied, not copied):
+ - record field access ``record[tag]`` -> first field with tag
+   (/root/reference/lib/rdfmodeler.rb:14 uses ``record[identifier_tag]``)
+ - datafield subscript ``field[code]`` -> FIRST subfield with that code
+   (ruby-marc semantics; /root/reference/lib/rdfmodeler.rb:244,286)
+ - MARCXML: namespace-agnostic local-name matching — the reference
+   handles both MARC21 slim and marcxchange namespaces
+   (/root/reference/scheduler.rb:364-366).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+
+@dataclass
+class Subfield:
+    code: str
+    value: str
+
+
+@dataclass
+class ControlField:
+    tag: str
+    value: str
+
+    @property
+    def is_control(self) -> bool:
+        return True
+
+
+@dataclass
+class DataField:
+    tag: str
+    ind1: str
+    ind2: str
+    subfields: list[Subfield] = dc_field(default_factory=list)
+
+    @property
+    def is_control(self) -> bool:
+        return False
+
+    def first(self, code: str) -> str | None:
+        """First subfield value with this code (ruby-marc ``field[code]``)."""
+        for sf in self.subfields:
+            if sf.code == code:
+                return sf.value
+        return None
+
+    def values(self, code: str) -> list[str]:
+        """All subfield values with this code, in field order (combine)."""
+        return [sf.value for sf in self.subfields if sf.code == code]
+
+
+@dataclass
+class Record:
+    leader: str = ""
+    fields: list = dc_field(default_factory=list)  # ControlField | DataField
+
+    def tags(self) -> list[str]:
+        """Distinct tags in first-seen order (set-equivalent to ruby-marc
+        ``record.tags``; output triples are set-deduplicated so order is
+        immaterial)."""
+        seen: dict[str, None] = {}
+        for f in self.fields:
+            seen.setdefault(f.tag, None)
+        return list(seen)
+
+    def fields_with_tag(self, tag: str) -> list:
+        return [f for f in self.fields if f.tag == tag]
+
+    def first_value(self, tag: str) -> str | None:
+        for f in self.fields:
+            if f.tag == tag:
+                return f.value if f.is_control else None
+        return None
+
+
+# ---------------------------------------------------------------------------
+# MARCXML / marcxchange parsing (namespace-agnostic)
+# ---------------------------------------------------------------------------
+
+_RECORD_RE = re.compile(
+    r"<(?:[A-Za-z_][\w.\-]*:)?record[\s>].*?</(?:[A-Za-z_][\w.\-]*:)?record\s*>",
+    re.DOTALL,
+)
+
+
+def find_record_strings(text: str) -> list[str]:
+    """Locate embedded ``<record>…</record>`` substrings byte-identically.
+
+    This is the extraction contract of BASELINE.json input_hint: the
+    returned strings are exact substrings of ``text`` (no re-serialization),
+    so extraction is byte-identical per url.
+    """
+    return _RECORD_RE.findall(text)
+
+
+def _localname(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1].rsplit(":", 1)[-1]
+
+
+def parse_record_xml(xml: str) -> Record:
+    """Parse one ``<record>`` element string into a Record."""
+    import xml.etree.ElementTree as ET
+
+    # The extracted snippet may use a namespace prefix without declaring
+    # it (it was declared on the enclosing <collection>); declare common
+    # prefixes on a synthetic wrapper so ET accepts it.
+    wrapped = (
+        "<wrap xmlns:marc='info:lc/xmlns/marcxchange-v1' "
+        "xmlns:mx='info:lc/xmlns/marcxchange-v1' "
+        "xmlns:slim='http://www.loc.gov/MARC21/slim'>" + xml + "</wrap>"
+    )
+    root = ET.fromstring(wrapped)
+    rec_el = next(iter(root))
+    rec = Record()
+    for el in rec_el:
+        name = _localname(el.tag)
+        if name == "leader":
+            rec.leader = el.text or ""
+        elif name == "controlfield":
+            rec.fields.append(ControlField(el.get("tag", ""), el.text or ""))
+        elif name == "datafield":
+            df = DataField(
+                el.get("tag", ""), el.get("ind1", " "), el.get("ind2", " ")
+            )
+            for sf in el:
+                if _localname(sf.tag) == "subfield":
+                    df.subfields.append(Subfield(sf.get("code", ""), sf.text or ""))
+            rec.fields.append(df)
+    return rec
+
+
+def parse_collection_xml(xml: str) -> list[Record]:
+    """Parse every record in a MARCXML/marcxchange collection document."""
+    return [parse_record_xml(s) for s in find_record_strings(xml)]
+
+
+# ---------------------------------------------------------------------------
+# Binary ISO 2709 (reference: MARC::ForgivingReader, marc2rdf.rb:50)
+# ---------------------------------------------------------------------------
+
+RECORD_TERMINATOR = b"\x1d"
+FIELD_TERMINATOR = b"\x1e"
+SUBFIELD_DELIMITER = b"\x1f"
+
+
+def parse_iso2709(data: bytes, encoding: str = "utf-8") -> list[Record]:
+    """Parse concatenated ISO 2709 records (forgiving: skip bad entries).
+
+    Pure string slicing over leader/directory offsets — vectorizable in a
+    pandas UDF batch (SURVEY.md §2.11 item 2).
+    """
+    records: list[Record] = []
+    for chunk in data.split(RECORD_TERMINATOR):
+        if len(chunk) < 24:
+            continue
+        leader = chunk[:24].decode(encoding, "replace")
+        try:
+            base = int(leader[12:17])
+        except ValueError:
+            continue
+        directory = chunk[24 : base - 1]  # noqa: E203
+        body = chunk[base:]
+        rec = Record(leader=leader)
+        for i in range(0, len(directory) - 11, 12):
+            entry = directory[i : i + 12]  # noqa: E203
+            tag = entry[:3].decode(encoding, "replace")
+            try:
+                length = int(entry[3:7])
+                start = int(entry[7:12])
+            except ValueError:
+                continue
+            raw = body[start : start + length].rstrip(FIELD_TERMINATOR)  # noqa: E203
+            if tag < "010":
+                rec.fields.append(
+                    ControlField(tag, raw.decode(encoding, "replace"))
+                )
+            else:
+                ind1 = raw[0:1].decode(encoding, "replace") or " "
+                ind2 = raw[1:2].decode(encoding, "replace") or " "
+                df = DataField(tag, ind1, ind2)
+                for part in raw[2:].split(SUBFIELD_DELIMITER):
+                    if part:
+                        df.subfields.append(
+                            Subfield(
+                                part[:1].decode(encoding, "replace"),
+                                part[1:].decode(encoding, "replace"),
+                            )
+                        )
+                rec.fields.append(df)
+        if rec.fields:
+            records.append(rec)
+    return records
+
+
+# ---------------------------------------------------------------------------
+# Plain-dict (Spark Row compatible) representation
+# ---------------------------------------------------------------------------
+
+def record_to_dict(rec: Record) -> dict:
+    """Nested-dict form matching marc2rdf_spark.schema.RECORD_STRUCT."""
+    return {
+        "leader": rec.leader,
+        "controlfields": [
+            {"tag": f.tag, "value": f.value} for f in rec.fields if f.is_control
+        ],
+        "datafields": [
+            {
+                "tag": f.tag,
+                "ind1": f.ind1,
+                "ind2": f.ind2,
+                "subfields": [
+                    {"code": s.code, "value": s.value} for s in f.subfields
+                ],
+            }
+            for f in rec.fields
+            if not f.is_control
+        ],
+    }
+
+
+def record_from_dict(d: dict) -> Record:
+    rec = Record(leader=d.get("leader") or "")
+    for cf in d.get("controlfields") or []:
+        rec.fields.append(ControlField(cf["tag"], cf["value"]))
+    for df in d.get("datafields") or []:
+        f = DataField(df["tag"], df.get("ind1") or " ", df.get("ind2") or " ")
+        for sf in df.get("subfields") or []:
+            f.subfields.append(Subfield(sf["code"], sf["value"]))
+        rec.fields.append(f)
+    return rec
