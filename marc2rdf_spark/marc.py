@@ -144,6 +144,39 @@ def parse_collection_xml(xml: str) -> list[Record]:
     return [parse_record_xml(s) for s in find_record_strings(xml)]
 
 
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def record_to_xml(rec: Record) -> str:
+    """Serialize a Record to a deterministic MARCXML ``<record>`` string
+    (MARC21 slim layout, matching the fixture formatting)."""
+    out = ["<record>"]
+    if rec.leader:
+        out.append(f"  <leader>{_xml_escape(rec.leader)}</leader>")
+    for f in rec.fields:
+        if f.is_control:
+            out.append(
+                f'  <controlfield tag="{f.tag}">{_xml_escape(f.value)}</controlfield>'
+            )
+        else:
+            out.append(
+                f'  <datafield tag="{f.tag}" ind1="{_xml_escape(f.ind1)}" '
+                f'ind2="{_xml_escape(f.ind2)}">'
+            )
+            for sf in f.subfields:
+                out.append(
+                    f'    <subfield code="{_xml_escape(sf.code)}">'
+                    f"{_xml_escape(sf.value)}</subfield>"
+                )
+            out.append("  </datafield>")
+    out.append("</record>")
+    return "\n".join(out)
+
+
 # ---------------------------------------------------------------------------
 # Binary ISO 2709 (reference: MARC::ForgivingReader, marc2rdf.rb:50)
 # ---------------------------------------------------------------------------

@@ -228,6 +228,8 @@ class OracleConverter:
         predicate = ""
         if "subfield" in cond:
             for key, value in cond["subfield"].items():
+                # a missing "default" key (e.g. skeleton 015$a) yields a nil
+                # predicate in Ruby -> assert() skips the triple
                 m = mf.first(key) or ""
                 if m:
                     cleaned = _DOTDASH.sub("", m).lower()
@@ -235,9 +237,9 @@ class OracleConverter:
                     if last is not None:
                         predicate = value["subs"].get(last) or ""
                     if not predicate:
-                        predicate = value["default"]
+                        predicate = value.get("default")
                 else:
-                    predicate = value["default"]
+                    predicate = value.get("default")
         elif "indicator" in cond:
             ind = cond["indicator"]
             for ind_key, ind_col in (("indicator1", mf.ind1), ("indicator2", mf.ind2)):
@@ -246,7 +248,7 @@ class OracleConverter:
                     if last is not None:
                         predicate = ind[ind_key]["subs"].get(last) or ""
             if not predicate:
-                predicate = ind["default"]
+                predicate = ind.get("default")
         return predicate
 
     def _relation_branch(self, mf, code, spec, predicate, assert_, relate):

@@ -1,0 +1,59 @@
+"""Extraction + parse stage: web_pages -> records DF.
+
+Stage contract (BASELINE.json input_hint / north_star):
+ - last-write-wins per url by warc_ts (OAI re-delivery semantics,
+   SURVEY.md §2.10) — implemented as ``groupBy(url).agg(max_by(...))``
+   so Spark performs partial (map-side) aggregation: ONE shuffle keyed
+   by url, no window-sort;
+ - record text extracted **byte-identically per url** via a vectorized
+   Arrow UDF (``mapInPandas``): the extracted string is an exact
+   substring of the page text, never re-serialized;
+ - MARCXML -> nested record struct in the same Arrow pass (one Python
+   exchange instead of two).
+
+At 100 TB the url-dedup shuffle is the stage's only wide dependency;
+AQE coalesces/splits post-shuffle partitions.  The Arrow stage is
+embarrassingly parallel after it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..marc import find_record_strings, parse_record_xml, record_to_dict
+from ..schema import RECORDS_SCHEMA
+
+
+def latest_pages(pages: DataFrame) -> DataFrame:
+    """Last write wins per url (later warc_ts, ties by longer text)."""
+    return pages.groupBy("url").agg(
+        F.max_by(F.col("text"), F.struct(F.col("warc_ts"), F.length("text")))
+        .alias("text")
+    )
+
+
+def extract_and_parse(pages: DataFrame, dedup_urls: bool = True) -> DataFrame:
+    """web_pages -> (url, record_xml, record) rows, one per embedded
+    MARC record."""
+    import pandas as pd
+
+    src = latest_pages(pages) if dedup_urls else pages.select("url", "text")
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, xmls, recs = [], [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                if text is None:
+                    continue
+                for snippet in find_record_strings(text):
+                    urls.append(url)
+                    xmls.append(snippet)  # exact substring: byte-identical
+                    recs.append(record_to_dict(parse_record_xml(snippet)))
+            yield pd.DataFrame(
+                {"url": urls, "record_xml": xmls, "record": recs}
+            )
+
+    return src.mapInPandas(worker, schema=RECORDS_SCHEMA)
