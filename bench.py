@@ -1,0 +1,151 @@
+"""Benchmark harness (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline numbers:
+ - kg_pipeline: synthesized web_pages (scaled by sf) -> extract ->
+   full skeleton mapping -> dedup -> count  (the north-star e2e path;
+   triples/sec derived from it)
+ - kg_link_cc: blocked entity linking + connected components +
+   canonicalization over the converted corpus
+ - docs_*: training-data operators over the sf documents table
+ - ann_topk / events_lww over sf embeddings/events
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# pages per unit sf: sf0.1 -> 20k pages (~0.9M raw triples)
+PAGES_PER_SF = int(os.environ.get("BENCH_PAGES_PER_SF", "200000"))
+
+
+def sf_from_dir(d: str) -> float:
+    name = os.path.basename(d.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from marc2rdf_spark.session import get_spark
+
+    sf = sf_from_dir(SF_DIR)
+    n_pages = max(int(PAGES_PER_SF * sf), 1000)
+    spark = get_spark(app_name="marc2rdf_bench", cores=CPUS,
+                      shuffle_partitions=max(CPUS * 2, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- kg pipeline ------------------------------------------------------
+    from marc2rdf_spark.operators.components import (
+        canonicalize_triples,
+        connected_components,
+    )
+    from marc2rdf_spark.operators.linking import (
+        link_mentions,
+        mention_nodes,
+        sameas_edges,
+    )
+    from marc2rdf_spark.plans.pipeline import synth_and_convert
+
+    def kg_pipeline():
+        t = synth_and_convert(spark, n_pages, "skeleton")
+        t.cache()
+        return t, t.count()
+
+    triples, n_triples = timed("kg_pipeline", kg_pipeline)
+    extra["kg_pages"] = n_pages
+    extra["kg_triples"] = n_triples
+    extra["kg_triples_per_sec"] = round(n_triples / timings["kg_pipeline"], 1)
+
+    auth_path = os.path.join(_HERE, "fixtures", "golden", "authorities.parquet")
+
+    def kg_link_cc():
+        mentions = mention_nodes(
+            triples,
+            ["http://def.bibsys.no/xmlns/radatana/1.0#catalogueName"],
+        )
+        links = link_mentions(
+            mentions, spark.read.parquet(auth_path), threshold=0.7
+        )
+        comps = connected_components(sameas_edges(links))
+        out = canonicalize_triples(triples, comps).dropDuplicates(
+            ["subj", "pred", "obj"]
+        )
+        return out.count()
+
+    timed("kg_link_cc", kg_link_cc)
+
+    # --- training-data ops -------------------------------------------------
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs.cache().count()
+
+    from marc2rdf_spark.operators.dedup import exact_duplicates, near_duplicates
+    from marc2rdf_spark.operators.textstats import lang_id, quality_features
+
+    timed("docs_dedup_exact", lambda: exact_duplicates(docs).count())
+    timed(
+        "docs_near_dup_minhash",
+        lambda: near_duplicates(docs, threshold=0.5).count(),
+    )
+    timed("docs_quality", lambda: quality_features(docs).count())
+    timed("docs_lang_id", lambda: lang_id(docs).count())
+
+    from marc2rdf_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+    def ann():
+        q = emb.filter(F.col("vec_id") < 10)
+        return brute_force_topk(emb, q, k=5).count()
+
+    timed("ann_topk", ann)
+
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+
+    def lww():
+        return events.groupBy("user_id").agg(
+            F.max_by("value", F.struct("ts", "event_id")).alias("v")
+        ).count()
+
+    timed("events_lww", lww)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

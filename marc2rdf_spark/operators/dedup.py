@@ -1,0 +1,236 @@
+"""Deduplication operators for web-scale corpora (documents table):
+exact, MinHash+LSH banding, SimHash, and n-gram Jaccard verification.
+
+Design for 100 TB (the actual target):
+ - exact dedup: hash-groupBy with partial aggregation — one shuffle on
+   the digest, not on the text;
+ - MinHash: signatures computed JVM-side (shingle -> xxhash64 under k
+   seeded permutations via (a*h+b) mod p), banded into LSH buckets;
+   candidate pairs come from an equi-join on (band, bucket-hash) — the
+   classic shuffle-friendly blocking join.  Hot buckets (boilerplate
+   shingles) are capped to bound the quadratic pair blowup;
+ - SimHash: 64-bit sketch via per-token hash bit-voting, near-dup when
+   Hamming distance <= k;
+ - verification: exact n-gram Jaccard on candidate pairs only.
+
+Everything is Column-expression based (no Python row loops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime for the universal-hash family (classic MinHash choice)
+_MERSENNE = (1 << 61) - 1
+
+
+def normalized_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup via content digest: one partial-aggregated shuffle.
+    Returns (fp, keep_id, n_dups, doc_ids)."""
+    withfp = docs.select(
+        "doc_id", F.md5(normalized_text(F.col("text"))).alias("fp")
+    )
+    return (
+        withfp.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct)."""
+    tokens = F.split(normalized_text(text), " ")
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0))
+    )
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " ")
+    )
+    return F.array_distinct(
+        F.when(F.size(tokens) >= n, grams).otherwise(
+            F.array(F.array_join(tokens, " "))
+        )
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, n: int = 3) -> Column:
+    """MinHash signature: per permutation i, min over shingle hashes of
+    (a_i * h + b_i) mod p.  Seeds are fixed (deterministic)."""
+    import random
+
+    rng = random.Random(42)
+    coeffs = [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    sh = shingles(text, n)
+    hashes = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
+    mins = [
+        F.array_min(
+            F.transform(
+                hashes,
+                # cap products into long range via modular arithmetic on
+                # 61-bit values: (a*h+b) mod p with a,h < 2^61 overflows
+                # 64-bit — fold a and h to 31 bits each first
+                _mk_perm(a, b),
+            )
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return F.array(*mins)
+
+
+def _mk_perm(a: int, b: int):
+    a31 = (a % 2147483647) or 1
+    b31 = b % 2147483647
+
+    def perm(h: Column) -> Column:
+        return (F.lit(a31) * (h % 2147483647) + F.lit(b31)) % F.lit(_MERSENNE)
+
+    return perm
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """MinHash-LSH blocking join: band the signature, bucket by the
+    band's hash, equi-join within buckets -> candidate pairs (a < b).
+
+    ``max_bucket`` caps degenerate hot buckets (boilerplate-heavy
+    corpora) to bound the pair explosion — the capped count should be
+    surfaced as a metric at scale."""
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        "doc_id", minhash_signature(F.col("text"), num_hashes, n).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    # cap hot buckets deterministically (keep lowest doc_ids)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    capped = banded.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= max_bucket
+    )
+    a = capped.select("band", "bucket", F.col("doc_id").alias("a"))
+    b = capped.select("band", "bucket", F.col("doc_id").alias("b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard verification on candidate pairs only."""
+    sh = docs.select("doc_id", shingles(F.col("text"), n).alias("sh"))
+    withsh = (
+        pairs.join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return withsh.select(
+        "a", "b", F.round(inter / union, 4).alias("jaccard")
+    )
+
+
+def near_duplicates(
+    docs: DataFrame, threshold: float = 0.8, **lsh_kwargs
+) -> DataFrame:
+    """MinHash-LSH blocking + exact Jaccard verification >= threshold."""
+    pairs = lsh_candidate_pairs(docs, **lsh_kwargs)
+    return ngram_jaccard(docs, pairs).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash: per-token xxhash64, bit-voting via sums over
+    bit positions, sign -> bit.  Pure column expressions."""
+    tokens = F.split(normalized_text(text), " ")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    bits = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                _mk_bit_acc(i),
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def _mk_bit_acc(i: int):
+    def acc(s: Column, h: Column) -> Column:
+        bit = F.shiftright(h, i).bitwiseAND(F.lit(1).cast("long"))
+        return s + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    return acc
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs by 16-bit-block blocking (any pair within
+    Hamming distance k must share at least one of k+1 blocks)."""
+    sigs = docs.select("doc_id", simhash64(F.col("text")).alias("sh"))
+    blocks = max_hamming + 1
+    width = 64 // blocks
+    banded = sigs.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), b * width).bitwiseAND(
+                        F.lit((1 << width) - 1).cast("long")
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("block", "key"),
+    )
+    a = banded.select("block", "key", F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    b = banded.select("block", "key", F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.join(b, ["block", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("a", "b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

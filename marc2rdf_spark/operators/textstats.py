@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table (doc_id, text, lang, source, n_chars): language-ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (JVM, whole-stage codegen) — no UDFs.
+Formulas are deliberately expressible in ANSI SQL so DuckDB can act as
+the correctness oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WS_SPLIT = r"\s+"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, WS_SPLIT)))
+
+
+def doc_tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """Quality-scoring features: alpha ratio, digit ratio, punctuation
+    ratio, mean token length, uppercase ratio — the usual web-text
+    quality heuristics (rounded for cross-engine float stability)."""
+    text = F.col("text")
+    total = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    digit = F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]-]", "")).cast(
+        "double"
+    )
+    upper = F.length(F.regexp_replace(text, "[^A-Z]", "")).cast("double")
+    ntok = token_count(text).cast("double")
+    safe_total = F.when(total > 0, total).otherwise(F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        F.round(alpha / safe_total, 4).alias("alpha_ratio"),
+        F.round(digit / safe_total, 4).alias("digit_ratio"),
+        F.round(punct / safe_total, 4).alias("punct_ratio"),
+        F.round(upper / safe_total, 4).alias("upper_ratio"),
+        F.round(
+            F.when(ntok > 0, total / ntok).otherwise(F.lit(0.0)), 4
+        ).alias("mean_token_len"),
+        ntok.cast("long").alias("n_tokens"),
+    )
+
+
+# tiny deterministic stopword lists for n-gram-free language ID
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "that"),
+    "no": ("og", "det", "ikke", "som", "av"),
+    "sv": ("och", "att", "det", "som", "inte"),
+    "de": ("der", "und", "die", "das", "nicht"),
+    "fr": ("le", "la", "les", "des", "est"),
+}
+
+
+def _marker_hits(text: Column, words: tuple[str, ...]) -> Column:
+    """Occurrences of ' word ' markers (space-delimited, lowercased)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    total = F.lit(0)
+    for w in words:
+        token = f" {w} "
+        occurrences = (
+            F.length(padded) - F.length(F.regexp_replace(padded, token, ""))
+        ) / len(token)
+        total = total + occurrences.cast("long")
+    return total
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: argmax of stopword-marker hit counts;
+    'und' when nothing matches.  Ties break by language code order
+    (deterministic, same rule in the SQL oracle)."""
+    hits = [
+        _marker_hits(F.col("text"), ws).alias(f"hits_{code}")
+        for code, ws in LANG_MARKERS.items()
+    ]
+    scored = docs.select("doc_id", *hits)
+    codes = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{c}") for c in codes])
+    pred = F.lit("und")
+    for c in reversed(codes):  # earlier codes win ties
+        pred = F.when((best > 0) & (F.col(f"hits_{c}") == best), F.lit(c)).otherwise(
+            pred
+        )
+    return scored.select(
+        "doc_id", *[f"hits_{c}" for c in codes], pred.alias("lang_pred")
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text (stable content hash for exact-dup detection across formatting)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), WS_SPLIT, " ")
+    return docs.select(
+        "doc_id", F.md5(norm).alias("fp"), F.length(norm).alias("norm_len")
+    )

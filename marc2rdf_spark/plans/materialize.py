@@ -1,0 +1,114 @@
+"""Resumable two-stage materialization (SURVEY.md §7 step 6):
+
+ stage "convert":     pages bucketed by url-hash -> raw triples,
+                      written partitionBy(bucket) with dynamic
+                      partition overwrite; lineage row per bucket.
+ stage "materialize": raw triples re-bucketed by triple-hash (so global
+                      dedup is bucket-local => exactly-once semantics),
+                      dropDuplicates within bucket, written
+                      partitionBy(bucket); lineage row per bucket.
+
+Kill the job at any point and re-run with the same run_id: done buckets
+are skipped, partial buckets are overwritten — the final triple set is
+identical (tests/test_resume.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compiler import MappingCompiler
+from ..config import Library, Mapping
+from ..sources.extract import extract_and_parse
+from .lineage import LineageLog
+from .pipeline import TRIPLE_COLS, load_mapping
+
+RAW_STAGE = "convert"
+FINAL_STAGE = "materialize"
+
+
+def _with_bucket(df: DataFrame, cols: list[str], n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
+    )
+
+
+def _overwrite_partitions(df: DataFrame, path: str) -> None:
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def run_resumable(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str,
+    mapping: Mapping | str = "skeleton",
+    library: Library | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Execute (or resume) the convert+materialize stages; returns the
+    final deduplicated triples DF."""
+    if isinstance(mapping, str):
+        mapping = load_mapping(mapping)
+    library = library or Library()
+    lineage = LineageLog(spark, f"{out_dir}/_lineage")
+    raw_path = f"{out_dir}/raw_triples"
+    final_path = f"{out_dir}/triples"
+
+    # ---- stage 1: convert (bucketed by url hash) -----------------------
+    done = lineage.done_buckets(run_id, RAW_STAGE)
+    pages_b = _with_bucket(pages, ["url"], n_buckets)
+    todo = pages_b.filter(~F.col("bucket").isin(list(done)) if done else F.lit(True))
+    if todo.limit(1).count() > 0:
+        records = extract_and_parse(todo.drop("bucket"))
+        triples = MappingCompiler(mapping, library).convert(records)
+        triples_b = _with_bucket(triples, ["url"], n_buckets).select(
+            *TRIPLE_COLS, "url", "bucket"
+        )
+        triples_b = triples_b.localCheckpoint(eager=True)  # compute once
+        _overwrite_partitions(triples_b, raw_path)
+        counts = (
+            triples_b.groupBy("bucket")
+            .agg(
+                F.countDistinct("url").alias("input_rows"),
+                F.count("*").alias("output_triples"),
+            )
+            .select(
+                F.col("bucket").alias("partition_id"),
+                "input_rows",
+                "output_triples",
+            )
+        )
+        lineage.append(run_id, RAW_STAGE, counts)
+
+    # ---- stage 2: materialize (global dedup via triple-hash buckets) ---
+    raw = spark.read.parquet(raw_path)
+    done2 = lineage.done_buckets(run_id, FINAL_STAGE)
+    deduped = (
+        _with_bucket(raw.drop("bucket"), TRIPLE_COLS, n_buckets)
+        .dropDuplicates(TRIPLE_COLS + ["bucket"])
+        .select(*TRIPLE_COLS, "bucket")
+    )
+    todo2 = deduped.filter(
+        ~F.col("bucket").isin(list(done2)) if done2 else F.lit(True)
+    )
+    if todo2.limit(1).count() > 0:
+        todo2 = todo2.localCheckpoint(eager=True)
+        _overwrite_partitions(todo2, final_path)
+        counts2 = (
+            todo2.groupBy("bucket")
+            .agg(F.count("*").alias("output_triples"))
+            .select(
+                F.col("bucket").alias("partition_id"),
+                F.lit(None).cast("long").alias("input_rows"),
+                "output_triples",
+            )
+        )
+        lineage.append(run_id, FINAL_STAGE, counts2)
+
+    return spark.read.parquet(final_path).select(*TRIPLE_COLS)

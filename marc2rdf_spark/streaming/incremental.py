@@ -1,0 +1,90 @@
+"""Incremental ingestion (SURVEY.md §2.1 S4/S5, §2.10).
+
+The reference's "streaming" is scheduled incremental batch: OAI-PMH
+windows (from/until datestamps), resumption-token pagination, raw-XML
+staging and replay (/root/reference/lib/oaiclient.rb:28-109,
+scheduler.rb:276-344,477-485).  Spark-first equivalents:
+
+ - window_batch: timestamp-window batch reads over the web_pages table
+   (warc_ts predicate -> partition/file pruning at the scan);
+ - run_available_now: Structured Streaming with Trigger.AvailableNow +
+   checkpointLocation — exactly-once incremental conversion over a
+   file-backed table; resumption tokens become the streaming offset log;
+ - tombstone handling (U6): a deleted-flag column drives purges in the
+   foreachBatch merge.
+
+No watermarks/event-time windows are needed: OAI re-delivers whole
+records and last-write-wins by warc_ts replaces late-data handling
+(SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import Library, Mapping
+from ..plans.pipeline import TRIPLE_COLS, convert_pages
+from ..schema import WEB_PAGES_SCHEMA
+
+
+def window_batch(
+    pages: DataFrame,
+    from_ts: dt.datetime | None = None,
+    until_ts: dt.datetime | None = None,
+) -> DataFrame:
+    """OAI-style from/until window (oaiclient.rb:28-44): a plain
+    timestamp predicate the scan can prune on."""
+    out = pages
+    if from_ts is not None:
+        out = out.filter(F.col("warc_ts") >= F.lit(from_ts))
+    if until_ts is not None:
+        out = out.filter(F.col("warc_ts") < F.lit(until_ts))
+    return out
+
+
+def run_available_now(
+    spark: SparkSession,
+    pages_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    mapping: Mapping | str = "skeleton",
+    library: Library | None = None,
+) -> None:
+    """Incremental convert of new page files since the last run
+    (Trigger.AvailableNow): processes exactly the unseen files, then
+    stops.  Re-running resumes from the checkpoint — the Spark-native
+    form of the reference's resumption-token loop (scheduler.rb:336-344).
+
+    Each micro-batch runs the full convert pipeline and appends
+    deduplicated triples (per-batch dedup; global dedup happens in the
+    materialize stage)."""
+
+    stream = (
+        spark.readStream.schema(WEB_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(pages_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        triples = convert_pages(batch_df, mapping, library, dedup=True)
+        triples.select(*TRIPLE_COLS).write.mode("append").parquet(out_path)
+
+    (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def apply_tombstones(store: DataFrame, tombstones: DataFrame) -> DataFrame:
+    """U6: OAI 'deleted' records (scheduler.rb:379-383) -> purge subjects
+    including inbound edges."""
+    from ..operators.store import purge_record
+
+    return purge_record(store, tombstones)

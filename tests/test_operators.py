@@ -1,0 +1,256 @@
+"""Unit tests for store ops (U1-U5), dedup family, similarity search,
+connected components, linking, and multimodal plumbing — small synthetic
+inputs with hand-computable expectations."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from marc2rdf_spark.vocab import RDF_TYPE
+
+TCOLS = ["subj", "pred", "obj", "obj_is_uri", "lang", "dtype"]
+
+
+TSCHEMA = (
+    "subj string, pred string, obj string, obj_is_uri boolean, "
+    "lang string, dtype string"
+)
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        [(s, p, o, True, None, None) for s, p, o in rows], TSCHEMA
+    )
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    person = "http://xmlns.com/foaf/0.1/Person"
+    return _triples(
+        spark,
+        [
+            ("d1", "creator", "p1"),
+            ("d1", "title", "t1"),
+            ("d1", "http://www.w3.org/2002/07/owl#sameAs", "d9"),
+            ("d2", "creator", "p1"),
+            ("p1", RDF_TYPE, person),
+            ("d2", RDF_TYPE, "Doc"),
+            ("d3", "ref", "d1"),
+        ],
+    )
+
+
+def test_select_record(store):
+    from marc2rdf_spark.operators.store import select_record
+
+    assert select_record(store, "d1").count() == 3
+
+
+def test_delete_record_preserving(store):
+    from marc2rdf_spark.operators.store import delete_record_preserving
+
+    out = delete_record_preserving(store, ["d1"], ("OWL.sameAs",))
+    rows = {(r.subj, r.pred) for r in out.collect()}
+    assert ("d1", "creator") not in rows
+    assert ("d1", "http://www.w3.org/2002/07/owl#sameAs") in rows
+    assert ("d2", "creator") in rows
+
+
+def test_purge_record_inbound(store):
+    from marc2rdf_spark.operators.store import purge_record
+
+    out = purge_record(store, ["d1"])
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert not any(s == "d1" for s, _, _ in rows)
+    assert ("d3", "ref", "d1") not in rows  # inbound edge purged
+    assert ("d2", "creator", "p1") in rows
+
+
+def test_bgp_join(store):
+    from marc2rdf_spark.operators.store import bgp_join
+
+    out = bgp_join(store, "creator", "http://xmlns.com/foaf/0.1/Person")
+    assert {(r.doc, r.node) for r in out.collect()} == {
+        ("d1", "p1"),
+        ("d2", "p1"),
+    }
+
+
+def test_upsert_records(spark, store):
+    from marc2rdf_spark.operators.store import upsert_records
+
+    fresh = spark.createDataFrame(
+        [("d1", "title", "t1-new", False, None, None)], TSCHEMA
+    )
+    out = upsert_records(store, fresh, ("OWL.sameAs",))
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("d1", "title", "t1-new") in rows
+    assert ("d1", "title", "t1") not in rows
+    assert ("d1", "http://www.w3.org/2002/07/owl#sameAs", "d9") in rows
+
+
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("fast", "quickly")),  # near dup
+        (4, "og det var en helt annen tekst som ikke ligner på noe annet"),
+        (5, "completely different content about apples and oranges here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    from marc2rdf_spark.operators.dedup import exact_duplicates
+
+    out = exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0].keep_id == 1 and out[0].n_docs == 2
+
+
+def test_minhash_near_duplicates(docs):
+    from marc2rdf_spark.operators.dedup import near_duplicates
+
+    pairs = {(r.a, r.b) for r in near_duplicates(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs  # identical
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_simhash_near_dups(docs):
+    from marc2rdf_spark.operators.dedup import simhash_near_dups
+
+    pairs = {(r.a, r.b): r.hamming for r in simhash_near_dups(docs, 10).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_ngram_jaccard_identical(spark, docs):
+    from marc2rdf_spark.operators.dedup import ngram_jaccard
+
+    pairs = spark.createDataFrame([(1, 2)], ["a", "b"])
+    out = ngram_jaccard(docs, pairs).collect()
+    assert out[0].jaccard == 1.0
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_brute_force_topk(spark):
+    from marc2rdf_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 0.05]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=2)
+    got = [(r.n_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == [(3, 1), (1, 2)]
+
+
+def test_lsh_topk_recovers_nearest(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(50)
+    ]
+    # plant a near-identical pair
+    rows.append((100, [x + 0.01 for x in rows[0][1]]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from marc2rdf_spark.operators.similarity import lsh_topk
+
+    out = lsh_topk(emb, emb.filter(F.col("vec_id") == 0), k=3, dim=16)
+    top = [r.n_id for r in out.orderBy("rank").collect()]
+    assert top and top[0] == 100
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_shapes(spark):
+    from marc2rdf_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("h", "h1"), ("h", "h2"), ("h", "h3")],
+        ["left_uri", "right_uri"],
+    )
+    comp = {r.uri: r.component for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+    assert comp["h1"] == comp["h2"] == comp["h3"] == comp["h"] == "h"
+
+
+def test_canonicalize_rewrites_subj_and_uri_obj(spark):
+    from marc2rdf_spark.operators.components import (
+        canonicalize_triples,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([("b", "a")], ["left_uri", "right_uri"])
+    comps = connected_components(edges)
+    triples = spark.createDataFrame(
+        [
+            ("b", "p", "b", True, None, None),
+            ("c", "p", "b", False, None, None),  # literal obj untouched
+        ],
+        TSCHEMA,
+    )
+    out = {(r.subj, r.obj) for r in canonicalize_triples(triples, comps).collect()}
+    assert ("a", "a") in out
+    assert ("c", "b") in out
+
+
+def test_linking_matches_exact_and_noisy(spark):
+    from marc2rdf_spark.operators.linking import link_mentions
+
+    mentions = spark.createDataFrame(
+        [
+            ("m1", "Petterson, Per"),
+            ("m2", "Pettersön, Pér"),
+            ("m3", "Totally Unrelated Name"),
+        ],
+        ["mention_uri", "label"],
+    )
+    auth = spark.createDataFrame(
+        [("a1", "Petterson, Per"), ("a2", "Hamsun, Knut")],
+        ["auth_id", "label"],
+    )
+    links = {r.mention_uri: r.auth_id for r in
+             link_mentions(mentions, auth, threshold=0.5).collect()}
+    assert links.get("m1") == "a1"
+    assert links.get("m2") == "a1"
+    assert "m3" not in links
+
+
+def test_multimodal_feature_plumbing(spark):
+    from marc2rdf_spark.operators.multimodal import (
+        FEATURE_DIM,
+        deterministic_fake_decode,
+        extract_features,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"payload-1"), {"k": "v"})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    out = extract_features(media).collect()
+    assert len(out) == 1
+    assert len(out[0].feature) == FEATURE_DIM
+    expected = deterministic_fake_decode(b"payload-1")
+    assert [round(x, 5) for x in out[0].feature] == [
+        round(x, 5) for x in expected
+    ]
+
+
+def test_real_decode_is_stubbed():
+    from marc2rdf_spark.operators.multimodal import _decode_image
+
+    with pytest.raises(NotImplementedError):
+        _decode_image(b"x")

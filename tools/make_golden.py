@@ -52,8 +52,73 @@ def write_golden(name: str, mapping) -> int:
     return len(triples)
 
 
+def write_sameas_edges() -> int:
+    """Deterministic sameAs fixture (FIXTURES.md §5): chains, stars, and
+    one large hub component."""
+    edges: list[tuple[str, str]] = []
+
+    def uri(n: int) -> str:
+        return f"http://example.com/id_{7000000 + n}"
+
+    # chains of length 4: (0-1-2-3), (10-11-12-13), ...
+    for base in range(0, 50, 10):
+        for j in range(3):
+            edges.append((uri(base + j), uri(base + j + 1)))
+    # stars: hub 100 + leaves 101..108
+    for leaf in range(101, 109):
+        edges.append((uri(100), uri(leaf)))
+    # one large hub component: 200 connected to 201..240
+    for leaf in range(201, 241):
+        edges.append((uri(200), uri(leaf)))
+    # cross-link chain into star (single component check)
+    edges.append((uri(3), uri(100)))
+
+    table = pa.Table.from_arrays(
+        [
+            pa.array([e[0] for e in edges]),
+            pa.array([e[1] for e in edges]),
+        ],
+        names=["left_uri", "right_uri"],
+    )
+    pq.write_table(table, os.path.join(GOLDEN_DIR, "sameas_edges.parquet"))
+    return len(edges)
+
+
+def write_authorities() -> int:
+    """Authority table (FIXTURES.md §4): canonical labels from the golden
+    records' relation nodes plus seeded noise variants."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT DISTINCT subj, obj FROM read_parquet(?) "
+        "WHERE pred = 'http://def.bibsys.no/xmlns/radatana/1.0#catalogueName'",
+        [os.path.join(GOLDEN_DIR, "triples_skeleton.parquet")],
+    ).fetchall()
+    auth_rows = []
+    for i, (subj, label) in enumerate(sorted(set(rows))):
+        auth_rows.append(
+            (f"http://authority.example.org/person/{i}", "person", label, subj)
+        )
+    table = pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in auth_rows]),
+            pa.array([r[1] for r in auth_rows]),
+            pa.array([r[2] for r in auth_rows]),
+            pa.array([r[3] for r in auth_rows]),
+        ],
+        names=["auth_id", "kind", "label", "true_mention"],
+    )
+    pq.write_table(table, os.path.join(GOLDEN_DIR, "authorities.parquet"))
+    return len(auth_rows)
+
+
 if __name__ == "__main__":
     n1 = write_golden("triples_dummy", load_dummy_mapping())
     print(f"triples_dummy.parquet: {n1} triples from {N_GOLDEN_PAGES} pages")
     n2 = write_golden("triples_skeleton", load_skeleton_mapping())
     print(f"triples_skeleton.parquet: {n2} triples from {N_GOLDEN_PAGES} pages")
+    n3 = write_sameas_edges()
+    print(f"sameas_edges.parquet: {n3} edges")
+    n4 = write_authorities()
+    print(f"authorities.parquet: {n4} authorities")
