@@ -4,13 +4,16 @@ exact, MinHash+LSH banding, SimHash, and n-gram Jaccard verification.
 Design for 100 TB (the actual target):
  - exact dedup: hash-groupBy with partial aggregation — one shuffle on
    the digest, not on the text;
- - MinHash: signatures computed JVM-side (shingle -> xxhash64 under k
-   seeded permutations via (a*h+b) mod p), banded into LSH buckets;
-   candidate pairs come from an equi-join on (band, bucket-hash) — the
-   classic shuffle-friendly blocking join.  Hot buckets (boilerplate
-   shingles) are capped to bound the quadratic pair blowup;
- - SimHash: 64-bit sketch via per-token hash bit-voting, near-dup when
-   Hamming distance <= k;
+ - MinHash: shingle hashes are computed ONCE per (doc, shingle) via
+   explode, then the 64 permutation minima are 64 cheap MIN aggregates
+   in a single partial-aggregating groupBy (never re-inline the shingle
+   pipeline per permutation — Catalyst's CollapseProject would otherwise
+   recompute it 64x);
+ - LSH banding: candidate pairs from an equi-join on (band, bucket) —
+   the classic shuffle-friendly blocking join; hot buckets capped to
+   bound the quadratic pair blowup;
+ - SimHash: 64-bit sketch via per-token hash bit-voting — same
+   explode+aggregate shape (64 SUM aggregates);
  - verification: exact n-gram Jaccard on candidate pairs only.
 
 Everything is Column-expression based (no Python row loops)."""
@@ -30,7 +33,7 @@ def normalized_text(text: Column) -> Column:
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Exact dedup via content digest: one partial-aggregated shuffle.
-    Returns (fp, keep_id, n_dups, doc_ids)."""
+    Returns (fp, keep_id, n_docs, doc_ids) for groups with > 1 doc."""
     withfp = docs.select(
         "doc_id", F.md5(normalized_text(F.col("text"))).alias("fp")
     )
@@ -61,41 +64,37 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(text: Column, num_hashes: int = 64, n: int = 3) -> Column:
-    """MinHash signature: per permutation i, min over shingle hashes of
-    (a_i * h + b_i) mod p.  Seeds are fixed (deterministic)."""
+def _perm_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     import random
 
     rng = random.Random(42)
-    coeffs = [
-        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+    return [
+        (
+            (rng.randrange(1, _MERSENNE) % 2147483647) or 1,
+            rng.randrange(0, _MERSENNE) % 2147483647,
+        )
         for _ in range(num_hashes)
     ]
-    sh = shingles(text, n)
-    hashes = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
-    mins = [
-        F.array_min(
-            F.transform(
-                hashes,
-                # cap products into long range via modular arithmetic on
-                # 61-bit values: (a*h+b) mod p with a,h < 2^61 overflows
-                # 64-bit — fold a and h to 31 bits each first
-                _mk_perm(a, b),
-            )
-        ).alias(f"mh_{i}")
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 64, n: int = 3
+) -> DataFrame:
+    """(doc_id, sig array<long>): one explode pass computes each shingle
+    hash once; the permutations are MIN aggregates (map-side partial)."""
+    coeffs = _perm_coeffs(num_hashes)
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), n)).alias("s")
+    ).withColumn("h", F.abs(F.xxhash64("s")) % F.lit(_MERSENNE))
+    h31 = F.col("h") % F.lit(2147483647)
+    aggs = [
+        F.min((F.lit(a) * h31 + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    return F.array(*mins)
-
-
-def _mk_perm(a: int, b: int):
-    a31 = (a % 2147483647) or 1
-    b31 = b % 2147483647
-
-    def perm(h: Column) -> Column:
-        return (F.lit(a31) * (h % 2147483647) + F.lit(b31)) % F.lit(_MERSENNE)
-
-    return perm
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(
@@ -112,9 +111,7 @@ def lsh_candidate_pairs(
     corpora) to bound the pair explosion — the capped count should be
     surfaced as a metric at scale."""
     rows_per_band = num_hashes // bands
-    sig = docs.select(
-        "doc_id", minhash_signature(F.col("text"), num_hashes, n).alias("sig")
-    )
+    sig = minhash_signatures(docs, num_hashes, n)
     banded = sig.select(
         "doc_id",
         F.posexplode(
@@ -171,41 +168,38 @@ def near_duplicates(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash: per-token xxhash64, bit-voting via sums over
-    bit positions, sign -> bit.  Pure column expressions."""
-    tokens = F.split(normalized_text(text), " ")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    bits = [
-        F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                _mk_bit_acc(i),
-            )
-            > 0,
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): 64-bit SimHash — per-token xxhash64 computed once
+    (explode), 64 bit-vote SUM aggregates, sign -> bit."""
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1).cast("long"))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{i}")
         for i in range(64)
     ]
-    out = F.lit(0).cast("long")
-    for b in bits:
-        out = out.bitwiseOR(b)
-    return out
-
-
-def _mk_bit_acc(i: int):
-    def acc(s: Column, h: Column) -> Column:
-        bit = F.shiftright(h, i).bitwiseAND(F.lit(1).cast("long"))
-        return s + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
-
-    return acc
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("doc_id", sig.alias("sh"))
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs by 16-bit-block blocking (any pair within
     Hamming distance k must share at least one of k+1 blocks)."""
-    sigs = docs.select("doc_id", simhash64(F.col("text")).alias("sh"))
+    sigs = simhash_signatures(docs)
     blocks = max_hamming + 1
     width = 64 // blocks
     banded = sigs.select(

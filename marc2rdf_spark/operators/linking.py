@@ -66,26 +66,32 @@ def char_shingles(c: Column, n: int = 3) -> Column:
     )
 
 
-def blocking_keys(label: Column, bands: int = 8, rows: int = 4) -> Column:
-    """MinHash-band block keys over character trigrams (array<long>)."""
-    sh = char_shingles(label)
-    hashes = [
-        F.array_min(F.transform(sh, _mk_seeded_hash(seed)))
+def blocked(df: DataFrame, id_col: str, label_col: str,
+            bands: int = 8, rows: int = 4) -> DataFrame:
+    """(id, label, block) rows: MinHash-band block keys over character
+    trigrams.  One explode pass hashes each shingle once; the band
+    minima are MIN aggregates (map-side partial) — never re-inline the
+    shingle pipeline per seed."""
+    sh = df.select(
+        F.col(id_col), F.col(label_col),
+        F.explode(char_shingles(F.col(label_col))).alias("s"),
+    )
+    aggs = [
+        F.min(F.xxhash64("s", F.lit(seed))).alias(f"mh{seed}")
         for seed in range(bands * rows)
     ]
-    return F.array(
+    sig = sh.groupBy(id_col, label_col).agg(*aggs)
+    band_arr = F.array(
         *[
-            F.hash(F.array(*hashes[b * rows : (b + 1) * rows]))  # noqa: E203
+            F.hash(
+                F.array(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
+            )
             for b in range(bands)
         ]
     )
-
-
-def _mk_seeded_hash(seed: int):
-    def h(s: Column) -> Column:
-        return F.xxhash64(s, F.lit(seed))
-
-    return h
+    return sig.select(
+        id_col, label_col, F.explode(band_arr).alias("block")
+    )
 
 
 @F.pandas_udf(DoubleType())
@@ -124,16 +130,13 @@ def link_mentions(
     salted: mention side gets a deterministic salt in [0, salt_factor),
     authority side is replicated across salts, so no reducer sees a
     whole hot block."""
-    m = mentions.select(
-        "mention_uri",
-        F.col("label").alias("m_label"),
-        F.explode(blocking_keys(F.col("label"), bands)).alias("block"),
-    )
-    a = authorities.select(
-        "auth_id",
-        F.col("label").alias("a_label"),
-        F.explode(blocking_keys(F.col("label"), bands)).alias("block"),
-    )
+    m = blocked(
+        mentions.select("mention_uri", "label"), "mention_uri", "label",
+        bands,
+    ).withColumnRenamed("label", "m_label")
+    a = blocked(
+        authorities.select("auth_id", "label"), "auth_id", "label", bands
+    ).withColumnRenamed("label", "a_label")
 
     # --- skew handling: find hot blocks, salt them ---------------------
     block_counts = m.groupBy("block").agg(F.count("*").alias("n"))
