@@ -1,119 +1,127 @@
-"""The mapping-rule compiler: marc2rdf JSON mapping -> Spark plan.
+"""The mapping-rule compiler: marc2rdf JSON mapping -> Spark plan
+(vectorized, data-driven).
 
-This is the engine's "codegen" (SURVEY.md §4.1): the declarative mapping
-(tags.{tagPattern}.subfield.{code} -> predicate/object specs,
-/root/reference/config/templates/mapping_skeleton.json) is compiled ONCE
-on the driver into a single Column-expression DAG.  The record loop of
-the reference (RDFModeler#convert, /root/reference/lib/rdfmodeler.rb:149-309)
-disappears: one narrow ``select`` per input row computes the complete
-triple array for that record via nested higher-order functions
-(transform/filter/flatten), then one ``explode`` yields the triples DF.
+The declarative mapping (tags.{tagPattern}.subfield.{code} ->
+predicate/object specs, /root/reference/config/templates/
+mapping_skeleton.json) is flattened once on the driver into a small
+BROADCAST spec table (specs.py) plus regex-dispatch registries; the
+conversion plan is then mapping-size-independent:
 
-Scale properties (the 100 TB design point):
- - ONE pass over the input, no shuffle until the final dedup;
- - everything stays in whole-stage codegen (no Python in the hot path);
- - the mapping itself is compile-time constant — embedded in the plan as
-   literals, never shuffled or broadcast as data;
- - nested-field pruning keeps the scan at the columns the rules touch.
+    records
+      -> one explode of a unified field array (rec|cf|df rows)
+      -> broadcast hash join with specs on (tag, kind)   [rule match P1]
+      -> one generic projection: conditions -> predicate, micro-operator
+         pipeline (substr|split -> substitute -> combine -> strip ->
+         urlize, exact order rdfmodeler.rb:75-131) -> per-object triple
+         array (parent + rdf:type + relation-subfield triples)
+      -> one explode -> triples
 
-Semantics compiled exactly per SURVEY.md §2.2-2.4 (micro-operator order
-rdfmodeler.rb:75-78: substr -> regex_split -> whole -> regex_substitute
--> combine -> regex_strip -> urlize; conditions per :200-231; relation
-blocks per :238-278).
+Why this shape at 100 TB (vs unrolling rules into the expression tree,
+kept as unrolled.py for cross-checking): the plan has O(distinct regex
+patterns) expression nodes instead of O(rules x operators), so driver
+plan-build, per-task plan deserialization, and codegen stay constant as
+mappings grow; regex patterns remain literals (compiled once); the only
+join is a broadcast of a few hundred spec rows.  One scan, no shuffle
+before the final dedup.
 """
 
 from __future__ import annotations
-
-import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import Library, Mapping
 from ..functions.exprs import (
-    first_subfield,
-    generate_objects_expr,
     is_blank_stripped,
     is_uri,
     last_match,
     ruby_strip,
+    split_with_captures,
+    urlize,
 )
 from ..schema import TRIPLE_ARRAY_DDL, TRIPLE_STRUCT_DDL
 from ..vocab import RDF_TYPE, Vocabulary, default_vocabulary
+from .specs import REC_TAG, SPEC_SCHEMA, Registries, flatten_mapping
 
-_PLAIN_KEY = re.compile(r"^\d{3}(\|\d{3})*$")
+FIELD_DDL = (
+    "struct<kind:string,tag:string,value:string,ind1:string,ind2:string,"
+    "subfields:array<struct<code:string,value:string>>>"
+)
 
 
 def _empty_triples() -> Column:
     return F.array().cast(TRIPLE_ARRAY_DDL)
 
 
-def _triple(
-    subj: Column,
-    pred: Column,
-    obj: Column,
-    obj_is_uri: Column,
-    lang=None,
-    dtype=None,
-) -> Column:
+def _triple(subj, pred, obj, obj_is_uri, lang, dtype) -> Column:
     return F.struct(
         subj.alias("subj"),
         pred.alias("pred"),
         obj.alias("obj"),
         obj_is_uri.alias("obj_is_uri"),
-        (F.lit(lang) if not isinstance(lang, Column) else lang)
-        .cast("string")
-        .alias("lang"),
-        F.lit(dtype).cast("string").alias("dtype"),
+        lang.cast("string").alias("lang"),
+        dtype.cast("string").alias("dtype"),
     ).cast(TRIPLE_STRUCT_DDL)
 
 
-def _norm_lang(lang) -> str | None:
-    if not lang:
-        return None
-    return lang.lstrip(":") or None
+def _null() -> Column:
+    return F.lit(None).cast("string")
 
 
-# lambda factories: PySpark higher-order functions introspect the lambda's
-# parameter list, so closures must be bound via factories, not default args.
-
-def _mk_rel_uri(subj: Column, pred: Column, prefix: str):
-    def mk(ro: Column) -> Column:
-        return _triple(subj, pred, F.concat(F.lit(prefix), ro), F.lit(True))
-
-    return mk
+def _first_subfield(field: Column, code: Column) -> Column:
+    """field[code] with a runtime code column (ruby-marc first-subfield
+    semantics, rdfmodeler.rb:244,286)."""
+    return F.get(
+        F.filter(field["subfields"], lambda s: s["code"] == code), 0
+    )["value"]
 
 
-def _mk_rel_literal(subj: Column, pred: Column, lang: str | None):
-    def mk(ro: Column) -> Column:
-        return _triple(subj, pred, ro, F.lit(False), lang)
+# ---------------------------------------------------------------------------
+# dispatch chains: id column -> literal-pattern expression
+# ---------------------------------------------------------------------------
 
-    return mk
-
-
-def _mk_cf_uri(subj: Column, pred: Column | None, prefix: str, rel_class: Column | None):
-    def mk(o: Column) -> Column:
-        full = F.concat(F.lit(prefix), o)
-        pieces = []
-        if pred is not None:
-            pieces.append(F.array(_triple(subj, pred, full, is_uri(full))))
-        if rel_class is not None:
-            pieces.append(
-                F.array(_triple(full, F.lit(RDF_TYPE), rel_class, F.lit(True)))
-            )
-        return F.concat(*pieces) if pieces else _empty_triples()
-
-    return mk
+def _dispatch_last(c: Column, id_col: Column, patterns: list[str]) -> Column:
+    """scan-last-match by interned pattern id; null when no id/no match."""
+    expr = None
+    for i, p in enumerate(patterns, 1):
+        m = last_match(c, p)
+        expr = F.when(id_col == i, m) if expr is None else expr.when(id_col == i, m)
+    return expr.otherwise(_null()) if expr is not None else _null()
 
 
-def _mk_cf_literal(subj: Column, pred: Column):
-    def mk(o: Column) -> Column:
-        return _triple(subj, pred, o, F.lit(False))
+def _dispatch_split(o: Column, id_col: Column, patterns: list[str]) -> Column:
+    """regex_split by pattern id, empties dropped (rdfmodeler.rb:89-91);
+    falls through to [o] when id is null (whole-string branch)."""
+    expr = None
+    for i, p in enumerate(patterns, 1):
+        branch = F.filter(
+            split_with_captures(o, p), lambda x: x.isNotNull() & (x != "")
+        )
+        expr = (
+            F.when(id_col == i, branch)
+            if expr is None
+            else expr.when(id_col == i, branch)
+        )
+    default = F.array(o)
+    return expr.otherwise(default) if expr is not None else default
 
-    return mk
+
+def _dispatch_strip(x: Column, id_col: Column, patterns: list[str]) -> Column:
+    expr = None
+    for i, p in enumerate(patterns, 1):
+        branch = F.regexp_replace(x, p, "")
+        expr = (
+            F.when(id_col == i, branch)
+            if expr is None
+            else expr.when(id_col == i, branch)
+        )
+    return expr.otherwise(x) if expr is not None else x
 
 
 class MappingCompiler:
+    """Same public API as the original unrolled compiler; plan shape per
+    module docstring."""
+
     def __init__(
         self,
         mapping: Mapping,
@@ -123,263 +131,185 @@ class MappingCompiler:
         self.mapping = mapping
         self.library = library or Library()
         self.vocab = vocab or default_vocabulary()
-        # fail fast on unknown prefixes (G6): expand every vocab ref now
-        self._validate()
+        self.spec_rows, self.regs = flatten_mapping(
+            mapping, self.library, self.vocab
+        )
 
-    # ------------------------------------------------------------------
-    def _validate(self) -> None:
-        for key, rule in self.mapping.tags.items():
-            re.compile(key)  # tag pattern must be a valid regex (P1)
+    # -- generic micro-operator pipeline (rdfmodeler.rb:49-135) ----------
+    def _pipeline(self, o: Column, s, field: Column) -> Column:
+        """s: accessor fn, s('substr_off') etc. returns the spec column —
+        works for the spec struct column and for rel-array lambda vars."""
+        regs = self.regs
 
-    def expand(self, ref: str) -> str:
-        return self.vocab.expand(ref)
+        piece = o.substr(s("substr_off") + F.lit(1), s("substr_len"))
+        substr_branch = F.when(
+            (F.length(o) >= s("substr_off") + s("substr_len"))
+            & ~is_blank_stripped(piece),
+            F.array(piece),
+        ).otherwise(F.array().cast("array<string>"))
+        arr = F.when(s("substr_off").isNotNull(), substr_branch).otherwise(
+            _dispatch_split(o, s("split_id"), regs.split)
+        )
 
-    # ------------------------------------------------------------------
-    # tag-match predicates (P1): mapping keys are unanchored regexes over
-    # the 3-char tag (rdfmodeler.rb:155).  Plain keys / alternations
-    # compile to isin() (cheaper than regex in codegen); anything else
-    # (e.g. the "^5(?!03|…)" negative lookahead) stays rlike.
-    # ------------------------------------------------------------------
-    @staticmethod
-    def _tag_predicate(tag_col: Column, key: str) -> Column:
-        if _PLAIN_KEY.match(key):
-            literals = sorted(set(key.split("|")))
-            if len(literals) == 1:
-                return tag_col == literals[0]
-            return tag_col.isin(literals)
-        return tag_col.rlike(key)
-
-    # ------------------------------------------------------------------
-    # conditions (C1/C2, rdfmodeler.rb:200-234) -> predicate Column
-    # ------------------------------------------------------------------
-    def _predicate_expr(self, field: Column, spec: dict) -> Column | None:
-        """Returns the predicate URI column, or None when the rule has no
-        predicate at all (parent assertion suppressed, rdfmodeler.rb:139)."""
-        if "conditions" not in spec:
-            p = spec.get("predicate")
-            return F.lit(self.expand(p)) if p else None
-
-        cond = spec["conditions"]
-        if "subfield" in cond:
-            pred: Column = F.lit("")
-            for key, value in cond["subfield"].items():
-                subs = {k: self.expand(v) for k, v in value["subs"].items()}
-                # missing "default" => nil predicate => triple skipped
-                # (Ruby assert() guard, rdfmodeler.rb:137-141)
-                default = F.lit(
-                    self.expand(value["default"]) if value.get("default") else None
-                ).cast("string")
-                m = first_subfield(field, key)
-                cleaned = F.lower(F.regexp_replace(m, r"[\.\-]+", ""))
-                last = last_match(cleaned, value["orig"])
-                subs_map = F.create_map(
-                    *[F.lit(x) for kv in subs.items() for x in kv]
-                )
-                candidate = subs_map[last]
-                pred = (
-                    F.when(m.isNull() | (m == ""), default)
-                    .when(
-                        candidate.isNotNull() & (candidate != ""), candidate
-                    )
-                    .otherwise(default)
-                )
-            return pred
-
-        ind = cond["indicator"]
-        default = F.lit(
-            self.expand(ind["default"]) if ind.get("default") else None
-        ).cast("string")
-        candidates = []
-        for ind_key, col_name in (("indicator1", "ind1"), ("indicator2", "ind2")):
-            if ind.get(ind_key):
-                subs = {
-                    k: self.expand(v) for k, v in ind[ind_key]["subs"].items()
-                }
-                subs_map = F.create_map(
-                    *[F.lit(x) for kv in subs.items() for x in kv]
-                )
-                last = last_match(field[col_name], ind[ind_key]["orig"])
-                candidates.append(subs_map[last])
-        # later indicator overwrites earlier on match (rdfmodeler.rb:219-230)
-        pred = default
-        expr = None
-        for cand in reversed(candidates):
-            valid = cand.isNotNull() & (cand != "")
-            expr = (
-                F.when(valid, cand) if expr is None else expr.when(valid, cand)
+        def _subst(x: Column) -> Column:
+            cleaned = F.lower(F.regexp_replace(x, r"[\W]+", ""))
+            last = _dispatch_last(cleaned, s("subst_orig_id"), regs.last)
+            # no-match => cleaned passthrough (rdfmodeler.rb:96-104);
+            # matched-but-unmapped would crash the reference -> null,
+            # filtered
+            return F.when(last.isNull(), cleaned).otherwise(
+                F.element_at(s("subst_map"), last)
             )
-        return expr.otherwise(default) if expr is not None else default
 
-    # ------------------------------------------------------------------
-    # datafield branches (rdfmodeler.rb:188-304)
-    # ------------------------------------------------------------------
-    def _straight_triples(
-        self, subj: Column, field: Column, code: str, spec: dict
-    ) -> Column:
-        ospec = spec["object"]
-        pred = self._predicate_expr(field, spec)
-        if pred is None:
-            return _empty_triples()
-        marc_object = first_subfield(field, code)
-        objs = generate_objects_expr(marc_object, ospec, field)
-        dt = ospec.get("datatype")
+        arr = F.when(
+            s("subst_orig_id").isNotNull(),
+            F.filter(F.transform(arr, _subst), lambda x: x.isNotNull()),
+        ).otherwise(arr)
 
-        if dt == "uri":
-            prefix = ospec.get("prefix") or ""
+        # F.array_join only takes a literal delimiter; the SQL function
+        # accepts a column — call it directly
+        combined = F.call_function(
+            "array_join",
+            F.flatten(
+                F.transform(
+                    s("combine"),
+                    lambda c: F.transform(
+                        F.filter(field["subfields"], lambda sf: sf["code"] == c),
+                        lambda sf: sf["value"],
+                    ),
+                )
+            ),
+            F.coalesce(s("combine_sep"), F.lit("")),
+        )
+        arr = F.when(
+            s("combine").isNotNull(),
+            F.transform(arr, lambda _: combined),
+        ).otherwise(arr)
 
-            def mk(o):
-                full = F.concat(F.lit(prefix), o)
-                return _triple(subj, pred, full, is_uri(full))
+        arr = F.when(
+            s("strip_id").isNotNull(),
+            F.transform(
+                arr, lambda x: _dispatch_strip(x, s("strip_id"), regs.strip)
+            ),
+        ).otherwise(arr)
 
-        elif dt in ("integer", "float"):
+        return F.when(s("urlize"), F.transform(arr, urlize)).otherwise(arr)
 
-            def mk(o):
-                return _triple(subj, pred, o, F.lit(False), None, f"xsd:{dt}")
+    # -- conditions -> predicate (rdfmodeler.rb:200-234) ------------------
+    def _predicate(self, field: Column, s) -> Column:
+        regs = self.regs
+        default = s("cond_default")
 
-        else:
-            lang = _norm_lang(ospec.get("lang"))
+        m = _first_subfield(field, s("cond_code"))
+        cleaned = F.lower(F.regexp_replace(m, r"[\.\-]+", ""))
+        cand_sub = F.element_at(
+            s("cond1_map"), _dispatch_last(cleaned, s("cond1_orig_id"), regs.last)
+        )
+        sub_pred = F.when(m.isNull() | (m == ""), default).otherwise(
+            F.when(cand_sub.isNotNull() & (cand_sub != ""), cand_sub).otherwise(
+                default
+            )
+        )
 
-            def mk(o):
-                return _triple(subj, pred, o, F.lit(False), lang)
+        cand1 = F.element_at(
+            s("cond1_map"),
+            _dispatch_last(field["ind1"], s("cond1_orig_id"), regs.last),
+        )
+        cand2 = F.element_at(
+            s("cond2_map"),
+            _dispatch_last(field["ind2"], s("cond2_orig_id"), regs.last),
+        )
+        ind_pred = (
+            F.when(cand2.isNotNull() & (cand2 != ""), cand2)
+            .when(cand1.isNotNull() & (cand1 != ""), cand1)
+            .otherwise(default)
+        )
 
-        out = F.transform(objs, mk)
-        return F.when(
-            marc_object.isNotNull() & (marc_object != "")
-            & (pred.isNotNull() & (pred != "")),
-            out,
-        ).otherwise(_empty_triples())
+        return (
+            F.when(s("cond_kind") == "sub", sub_pred)
+            .when(s("cond_kind") == "ind", ind_pred)
+            .otherwise(s("pred"))
+        )
 
-    def _relation_triples(
-        self, subj: Column, field: Column, code: str, spec: dict
-    ) -> Column:
-        ospec = spec["object"]
-        pred = self._predicate_expr(field, spec)
-        rel = spec["relation"]
-        rel_class = F.lit(self.expand(rel["class"]))
-        prefix = ospec.get("prefix") or ""
-        marc_object = first_subfield(field, code)
-        objs = generate_objects_expr(marc_object, ospec, field)
-
-        rel_subfields = list((rel.get("subfield") or {}).items())
+    # -- emission: one object -> triple array -----------------------------
+    def _emission(
+        self, subj: Column, field: Column, spec: Column, pred: Column
+    ) -> "callable":
+        def s(name: str) -> Column:
+            return spec[name]
 
         def per_object(o: Column) -> Column:
-            obj_full = F.concat(F.lit(prefix), o)
-            pieces = []
-            if pred is not None:
-                pieces.append(
-                    F.when(
-                        pred.isNotNull() & (pred != ""),
-                        F.array(_triple(subj, pred, obj_full, is_uri(obj_full))),
-                    ).otherwise(_empty_triples())
-                )
-            # relate() force-URIs its subject (rdfmodeler.rb:145): the type
-            # triple is emitted unconditionally with obj_full as subject.
-            pieces.append(
-                F.array(_triple(obj_full, F.lit(RDF_TYPE), rel_class, F.lit(True)))
+            obj_full = F.concat(F.coalesce(s("prefix"), F.lit("")), o)
+            uri_flag = is_uri(obj_full)
+            dt = s("datatype")
+
+            p_obj = F.when(dt == "uri", obj_full).otherwise(o)
+            p_is_uri = F.when(dt == "uri", uri_flag).otherwise(F.lit(False))
+            p_dtype = (
+                F.when(dt == "integer", F.lit("xsd:integer"))
+                .when(dt == "float", F.lit("xsd:float"))
+                .otherwise(_null())
             )
-            for rel_code, rel_spec in rel_subfields:
-                rospec = rel_spec["object"]
-                rel_pred = F.lit(self.expand(rel_spec["predicate"]))
-                relobj = first_subfield(field, rel_code)
-                relobjs = generate_objects_expr(relobj, rospec, field)
-                if rospec.get("datatype") == "uri":
-                    # forced URI (rdfmodeler.rb:268)
-                    mk_rel = _mk_rel_uri(
-                        obj_full, rel_pred, rospec.get("prefix") or ""
-                    )
-                else:
-                    mk_rel = _mk_rel_literal(
-                        obj_full, rel_pred, _norm_lang(rospec.get("lang"))
-                    )
-                pieces.append(
-                    F.when(
-                        relobj.isNotNull() & (relobj != ""),
-                        F.transform(relobjs, mk_rel),
-                    ).otherwise(_empty_triples())
-                )
-            return F.concat(*pieces)
+            p_lang = F.when(dt == "literal", s("lang")).otherwise(_null())
+            parent = F.when(
+                pred.isNotNull() & (pred != ""),
+                F.array(_triple(subj, pred, p_obj, p_is_uri, p_lang, p_dtype)),
+            ).otherwise(_empty_triples())
 
-        out = F.flatten(F.transform(objs, per_object))
-        return F.when(
-            marc_object.isNotNull() & (marc_object != ""), out
-        ).otherwise(_empty_triples())
+            # relate() force-URIs its subject (rdfmodeler.rb:145): type
+            # triple emitted even when the parent coerced to a literal
+            type_t = F.when(
+                s("rel_class").isNotNull(),
+                F.array(
+                    _triple(
+                        obj_full, F.lit(RDF_TYPE), s("rel_class"),
+                        F.lit(True), _null(), _null(),
+                    )
+                ),
+            ).otherwise(_empty_triples())
 
-    def _datafield_triples(self, subj: Column, field: Column) -> Column:
-        """All triples for one datafield across all matching rules."""
-        branches = []
-        for key, rule in self.mapping.tags.items():
-            if "subfield" not in rule:
-                continue  # controlfield-style rule (never matches datafields
-                # in practice; the reference would crash if it did)
-            rule_branches = []
-            for code, spec in rule["subfield"].items():
-                if "relation" in spec:
-                    rule_branches.append(
-                        self._relation_triples(subj, field, code, spec)
+            def per_rel(r: Column) -> Column:
+                def rs(name: str) -> Column:
+                    return r[name]
+
+                ro_src = _first_subfield(field, rs("code"))
+                relobjs = self._pipeline(ro_src, rs, field)
+
+                def mk_rel(ro: Column) -> Column:
+                    # 'uri' is FORCED (rdfmodeler.rb:268)
+                    r_obj = F.when(
+                        rs("datatype") == "uri",
+                        F.concat(F.coalesce(rs("prefix"), F.lit("")), ro),
+                    ).otherwise(ro)
+                    r_is_uri = rs("datatype") == "uri"
+                    r_lang = F.when(
+                        rs("datatype") == "uri", _null()
+                    ).otherwise(rs("lang"))
+                    return _triple(
+                        obj_full, rs("pred"), r_obj, r_is_uri, r_lang, _null()
                     )
-                else:
-                    rule_branches.append(
-                        self._straight_triples(subj, field, code, spec)
-                    )
-            branches.append(
-                F.when(
-                    self._tag_predicate(field["tag"], key),
-                    F.concat(*rule_branches),
+
+                return F.when(
+                    ro_src.isNotNull() & (ro_src != ""),
+                    F.transform(relobjs, mk_rel),
                 ).otherwise(_empty_triples())
+
+            rel_t = F.coalesce(
+                F.flatten(F.transform(F.coalesce(s("rel"), F.array().cast(
+                    "array<struct<code:string,pred:string,substr_off:int,"
+                    "substr_len:int,split_id:int,"
+                    "subst_orig_id:int,subst_map:map<string,string>,"
+                    "combine:array<string>,combine_sep:string,"
+                    "strip_id:int,urlize:boolean,"
+                    "datatype:string,prefix:string,lang:string>>"
+                )), per_rel)),
+                _empty_triples(),
             )
-        if not branches:
-            return _empty_triples()
-        return F.concat(*branches)
+            return F.concat(parent, type_t, rel_t)
 
-    # ------------------------------------------------------------------
-    # controlfield branch (rdfmodeler.rb:160-186)
-    # ------------------------------------------------------------------
-    def _controlfield_triples(self, subj: Column, field: Column) -> Column:
-        branches = []
-        value = field["value"]
-        for key, rule in self.mapping.tags.items():
-            if "subfield" in rule:
-                continue
-            rule_branches = []
-            for _name, sub_rule in rule.items():
-                ospec = sub_rule["object"]
-                p = sub_rule.get("predicate")
-                pred = F.lit(self.expand(p)) if p else None
-                objs = generate_objects_expr(value, ospec, None)
-                # per-object strip-empty guard — cf branch ONLY (:168)
-                objs = F.filter(objs, lambda o: ~is_blank_stripped(o))
+        return per_object
 
-                if ospec.get("datatype") != "literal":
-                    rel_class = (
-                        F.lit(self.expand(sub_rule["relation"]["class"]))
-                        if "relation" in sub_rule
-                        else None
-                    )
-                    mk = _mk_cf_uri(
-                        subj, pred, ospec.get("prefix") or "", rel_class
-                    )
-                    rule_branches.append(F.flatten(F.transform(objs, mk)))
-                else:
-                    if pred is not None:
-                        rule_branches.append(
-                            F.transform(objs, _mk_cf_literal(subj, pred))
-                        )
-            if not rule_branches:
-                continue
-            branches.append(
-                F.when(
-                    self._tag_predicate(field["tag"], key)
-                    & ~is_blank_stripped(value),
-                    F.concat(*rule_branches),
-                ).otherwise(_empty_triples())
-            )
-        if not branches:
-            return _empty_triples()
-        return F.concat(*branches)
-
-    # ------------------------------------------------------------------
-    # record-level (subject minting G1, rdf:type G2)
-    # ------------------------------------------------------------------
+    # -- record-level helpers ---------------------------------------------
     def subject_expr(self, record: Column) -> Column:
         ident = F.get(
             F.filter(
@@ -393,48 +323,92 @@ class MappingCompiler:
             F.coalesce(ident, F.lit("")),
         )
 
-    def _type_triples(self, subj: Column) -> Column:
-        types = self.library.rdf_types.replace(" ", "").split(",")
-        return F.array(
-            *[
-                _triple(subj, F.lit(RDF_TYPE), F.lit(self.expand(t)), F.lit(True))
-                for t in types
-                if t
-            ]
+    def _fields_array(self, record: Column) -> Column:
+        rec_field = F.struct(
+            F.lit("rec").alias("kind"), F.lit(REC_TAG).alias("tag"),
+            F.lit("").alias("value"), _null().alias("ind1"),
+            _null().alias("ind2"),
+            F.lit(None).cast(
+                "array<struct<code:string,value:string>>"
+            ).alias("subfields"),
+        ).cast(FIELD_DDL)
+        cf = F.transform(
+            F.coalesce(record["controlfields"], F.array()),
+            lambda f: F.struct(
+                F.lit("cf").alias("kind"), f["tag"].alias("tag"),
+                f["value"].alias("value"), _null().alias("ind1"),
+                _null().alias("ind2"),
+                F.lit(None).cast(
+                    "array<struct<code:string,value:string>>"
+                ).alias("subfields"),
+            ).cast(FIELD_DDL),
         )
+        df_ = F.transform(
+            F.coalesce(record["datafields"], F.array()),
+            lambda f: F.struct(
+                F.lit("df").alias("kind"), f["tag"].alias("tag"),
+                _null().alias("value"), f["ind1"].alias("ind1"),
+                f["ind2"].alias("ind2"), f["subfields"].alias("subfields"),
+            ).cast(FIELD_DDL),
+        )
+        return F.concat(F.array(rec_field), cf, df_)
 
-    # ------------------------------------------------------------------
-    # public API
-    # ------------------------------------------------------------------
-    def triples_array_expr(self, record: Column) -> Column:
-        """array<triple> for one record struct column — a single narrow
-        expression, no shuffle."""
-        subj = self.subject_expr(record)
-        cf = F.flatten(
-            F.transform(
-                F.coalesce(record["controlfields"], F.array()),
-                lambda f: self._controlfield_triples(subj, f),
-            )
-        )
-        df = F.flatten(
-            F.transform(
-                F.coalesce(record["datafields"], F.array()),
-                lambda f: self._datafield_triples(subj, f),
-            )
-        )
-        return F.concat(self._type_triples(subj), cf, df)
+    def specs_df(self, spark) -> DataFrame:
+        return spark.createDataFrame(self.spec_rows, SPEC_SCHEMA)
 
+    # -- public API ---------------------------------------------------------
     def convert(
         self, records: DataFrame, record_col: str = "record", keep: tuple = ("url",)
     ) -> DataFrame:
-        """records DF (schema.RECORDS_SCHEMA) -> triples DF.
+        """records DF (schema.RECORDS_SCHEMA) -> triples DF.  One scan,
+        one broadcast join, two explodes, no shuffle; dedup is the
+        materialize stage's concern (G8, SURVEY.md §2.4)."""
+        spark = records.sparkSession
+        kept = [c for c in keep if c in records.columns]
+        record = F.col(record_col)
+        fields = records.select(
+            *kept,
+            self.subject_expr(record).alias("subj"),
+            F.explode(self._fields_array(record)).alias("field"),
+        ).select(
+            *kept, "subj", "field",
+            F.col("field.tag").alias("tag"), F.col("field.kind").alias("kind"),
+        )
 
-        One narrow select + one explode; dedup is the caller's
-        materialize-stage concern (G8: reference file output keeps
-        duplicates, the store dedups on insert — we dropDuplicates at
-        materialize, SURVEY.md §2.4)."""
-        arr = self.triples_array_expr(F.col(record_col))
-        kept = [F.col(c) for c in keep if c in records.columns]
-        return records.select(
-            *kept, F.explode(arr).alias("t")
-        ).select(*kept, "t.*")
+        joined = fields.join(F.broadcast(self.specs_df(spark)), ["tag", "kind"])
+
+        spec = F.col("spec")
+        field = F.col("field")
+        subj = F.col("subj")
+        kind = F.col("kind")
+
+        src = (
+            F.when(kind == "cf", field["value"])
+            .when(kind == "df", _first_subfield(field, spec["code"]))
+            .otherwise(F.lit(""))
+        )
+        guard = (
+            F.when(kind == "cf", ~is_blank_stripped(field["value"]))
+            .when(kind == "df", src.isNotNull() & (src != ""))
+            .otherwise(F.lit(True))
+        )
+
+        def s(name: str) -> Column:
+            return spec[name]
+
+        objs = self._pipeline(src, s, field)
+        # per-object strip-empty guard: controlfield branch ONLY (:168)
+        objs = F.when(
+            kind == "cf",
+            F.filter(objs, lambda o: ~is_blank_stripped(o)),
+        ).otherwise(objs)
+
+        pred = self._predicate(field, s)
+        emission = self._emission(subj, field, spec, pred)
+        triples_arr = F.flatten(F.transform(objs, emission))
+
+        return (
+            joined.where(guard)
+            .select(*kept, F.explode(triples_arr).alias("t"))
+            .select(*kept, "t.*")
+        )

@@ -1,0 +1,73 @@
+"""Incremental ingestion tests (SURVEY.md §2.10 / S4-S5): availableNow
+streaming processes exactly the unseen files per run, resuming from the
+checkpoint — the Spark-native resumption token."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from marc2rdf_spark.sources.synth import gen_pages
+from marc2rdf_spark.streaming.incremental import run_available_now, window_batch
+
+
+def _write_pages(spark, path, start, end):
+    from marc2rdf_spark.schema import WEB_PAGES_SCHEMA
+
+    rows = [r for i in range(start, end) for r in gen_pages(i, i + 1)]
+    spark.createDataFrame(rows, WEB_PAGES_SCHEMA).write.mode("append").parquet(
+        path
+    )
+
+
+def test_available_now_incremental(spark, tmp_path):
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_pages(spark, pages, 0, 11)
+    run_available_now(spark, pages, out, ckpt, mapping="dummy")
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    subj1 = {
+        r.subj for r in spark.read.parquet(out).select("subj").distinct().collect()
+    }
+
+    # second batch of NEW files only
+    _write_pages(spark, pages, 11, 22)
+    run_available_now(spark, pages, out, ckpt, mapping="dummy")
+    df = spark.read.parquet(out)
+    n2 = df.count()
+    assert n2 > n1
+    # old records were not reprocessed: record-subject triples appear
+    # exactly once.  (Shared AUTHORITY-node triples legitimately repeat
+    # across batches — global dedup is the materialize stage's job.)
+    dup_records = (
+        df.filter(F.col("subj").startswith("http://example.com/id_"))
+        .groupBy("subj", "pred", "obj", "lang", "dtype")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup_records == 0
+    assert subj1 < {
+        r.subj for r in df.select("subj").distinct().collect()
+    }
+
+
+def test_window_batch_prunes(spark):
+    import datetime as dt
+
+    from marc2rdf_spark.schema import WEB_PAGES_SCHEMA
+    from marc2rdf_spark.sources.synth import BASE_TS
+
+    rows = [r for i in range(20) for r in gen_pages(i, i + 1)]
+    pages = spark.createDataFrame(rows, WEB_PAGES_SCHEMA)
+    win = window_batch(
+        pages,
+        from_ts=BASE_TS + dt.timedelta(seconds=5),
+        until_ts=BASE_TS + dt.timedelta(seconds=10),
+    )
+    assert win.count() == 5
+    # the predicate must be pushed to the scan for file pruning
+    plan = win._jdf.queryExecution().executedPlan().toString()
+    assert "warc_ts" in plan
