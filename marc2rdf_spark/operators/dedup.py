@@ -228,3 +228,88 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     return pairs.select("a", "b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicates
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (a_id < b_id,
+    cosine >= threshold) — the correctness baseline: an all-pairs join,
+    quadratic by construction, oracle-checkable.  Use the LSH variant
+    below for corpus scale."""
+    from .similarity import cosine
+
+    a = embeddings.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).cast("array<double>").alias("a_vec"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).cast("array<double>").alias("b_vec"),
+    )
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id",
+            cosine(F.col("a_vec"), F.col("b_vec")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("a_id", "b_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+def embedding_near_dups_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: candidate pairs share a random-hyperplane bucket in
+    any of ``n_tables`` tables (equi-join on (table, bucket) — a
+    bucket-partitioned shuffle instead of the all-pairs join), then
+    exact cosine re-check.  Recall is tunable via tables x planes; the
+    exact re-check keeps precision at 1.0."""
+    from .similarity import _hyperplanes, cosine, lsh_bucket
+
+    tables = [
+        _hyperplanes(dim, n_planes, seed=1337 + t) for t in range(n_tables)
+    ]
+    vec = F.col(vec_col).cast("array<double>")
+    bucketed = embeddings.select(
+        F.col(id_col).alias("id"), vec.alias("vec"),
+        F.posexplode(
+            F.array(*[lsh_bucket(vec, planes) for planes in tables])
+        ).alias("table", "bucket"),
+    )
+    left = bucketed.select(
+        "table", "bucket", F.col("id").alias("a_id"),
+        F.col("vec").alias("a_vec"),
+    )
+    right = bucketed.select(
+        "table", "bucket", F.col("id").alias("b_id"),
+        F.col("vec").alias("b_vec"),
+    )
+    cand = (
+        left.join(right, ["table", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "a_vec", "b_id", "b_vec")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "a_id", "b_id",
+            cosine(F.col("a_vec"), F.col("b_vec")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("a_id", "b_id", F.round("sim", 4).alias("sim"))
+    )

@@ -51,6 +51,31 @@ def synth_and_convert(
     )
 
 
+def full_pipeline(
+    triples: DataFrame,
+    authorities: DataFrame,
+    label_preds: list[str],
+    threshold: float = 0.7,
+) -> DataFrame:
+    """North-star end-to-end tail: triples -> blocked linking -> CC ->
+    canonicalize -> dedup.  The triple DF feeds three consumers
+    (mention extraction, canonicalize, dedup) — persist it once so the
+    conversion plan runs a single time; unpersisted by the caller's
+    session teardown (at cluster scale this is an intermediate Iceberg
+    materialization, which the resume path needs anyway)."""
+    from ..operators.components import (
+        canonicalize_triples,
+        connected_components,
+    )
+    from ..operators.linking import link_mentions, mention_nodes, sameas_edges
+
+    triples = triples.persist()
+    mentions = mention_nodes(triples, label_preds)
+    links = link_mentions(mentions, authorities, threshold=threshold)
+    comps = connected_components(sameas_edges(links))
+    return canonicalize_triples(triples, comps).dropDuplicates(TRIPLE_COLS)
+
+
 def to_ntriples(triples: DataFrame) -> DataFrame:
     """Materialize stage: render canonical N-Triples lines (G7).
     Statements whose subject is not a valid URI are the reference's
