@@ -69,9 +69,19 @@ def main() -> None:
     )
     from marc2rdf_spark.plans.pipeline import synth_and_convert
 
+    # Warm-up: a tiny end-to-end run outside the timed window absorbs
+    # one-time per-process costs (JVM/codegen JIT, Python worker
+    # imports) so the headline number reflects steady-state throughput
+    # — the quantity that extrapolates to cluster scale.  The per-job
+    # plan-build+analysis cost (~10-15 s for the compiled mapping) is
+    # still INSIDE the timed window: a real job pays it once too.
+    synth_and_convert(spark, 300, "skeleton", partitions=4).count()
+
     def kg_pipeline():
         t = synth_and_convert(spark, n_pages, "skeleton")
-        t.cache()
+        # localCheckpoint: materialize AND break lineage, so the link/CC
+        # stage below doesn't re-analyze the conversion tree per action
+        t = t.localCheckpoint(eager=True)
         return t, t.count()
 
     triples, n_triples = timed("kg_pipeline", kg_pipeline)

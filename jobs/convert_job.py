@@ -81,6 +81,8 @@ def main() -> None:
             ["subj", "pred", "obj", "lang", "dtype"]
         )
         triples.write.mode("overwrite").parquet(f"{args.out}/triples_canonical")
+        # count what was committed — not a recompute of the link tail
+        triples = spark.read.parquet(f"{args.out}/triples_canonical")
 
     n = triples.count()
     dt = time.time() - t0

@@ -407,8 +407,8 @@ class MappingCompiler:
         emission = self._emission(subj, field, spec, pred)
         triples_arr = F.flatten(F.transform(objs, emission))
 
-        return (
-            joined.where(guard)
-            .select(*kept, F.explode(triples_arr).alias("t"))
-            .select(*kept, "t.*")
-        )
+        # F.inline = explode + struct-expansion in ONE generator: one
+        # fewer chained select, and each chained DataFrame op on this
+        # tree costs a full eager JVM analysis pass (seconds for the
+        # compiled-mapping expression tree).
+        return joined.where(guard).select(*kept, F.inline(triples_arr))

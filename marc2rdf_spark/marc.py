@@ -235,6 +235,46 @@ def parse_iso2709(data: bytes, encoding: str = "utf-8") -> list[Record]:
     return records
 
 
+def record_to_iso2709(rec: Record, encoding: str = "utf-8") -> bytes:
+    """Serialize one record to binary ISO 2709 (the inverse of
+    ``parse_iso2709``; reference reads this format via
+    MARC::ForgivingReader, /root/reference/marc2rdf.rb:50).  Leader
+    length/base-address slots are recomputed; other leader positions are
+    preserved from the record."""
+    body = b""
+    directory = b""
+    for f in rec.fields:
+        if f.is_control:
+            data = f.value.encode(encoding) + FIELD_TERMINATOR
+        else:
+            data = (f.ind1 or " ").encode(encoding)[:1].ljust(1, b" ")
+            data += (f.ind2 or " ").encode(encoding)[:1].ljust(1, b" ")
+            for sf in f.subfields:
+                data += (
+                    SUBFIELD_DELIMITER
+                    + sf.code.encode(encoding)[:1]
+                    + sf.value.encode(encoding)
+                )
+            data += FIELD_TERMINATOR
+        directory += (
+            f.tag.encode(encoding)[:3].ljust(3, b" ")
+            + f"{len(data):04d}".encode()
+            + f"{len(body):05d}".encode()
+        )
+        body += data
+    base = 24 + len(directory) + 1
+    total = base + len(body) + 1
+    leader = (rec.leader or " " * 24).ljust(24)[:24]
+    leader = f"{total:05d}" + leader[5:12] + f"{base:05d}" + leader[17:]
+    return (
+        leader.encode(encoding)
+        + directory
+        + FIELD_TERMINATOR
+        + body
+        + RECORD_TERMINATOR
+    )
+
+
 # ---------------------------------------------------------------------------
 # Plain-dict (Spark Row compatible) representation
 # ---------------------------------------------------------------------------

@@ -6,11 +6,12 @@ family, cf. Kiveris et al., "Connected Components in MapReduce and
 Beyond"): each node repeatedly adopts the minimum id among itself and
 its neighbors' current labels until fixpoint.  Each iteration is one
 shuffle (groupBy node -> min label); the frontier is localCheckpointed
-every CHECKPOINT_EVERY iterations to cut the growing lineage — the
+every iteration so plan depth stays O(1) — growing lineage is the
 standard failure mode of iterative DataFrame algorithms.
 
-Convergence is detected by counting label changes (an aggregate, not a
-collect of data rows).  Iterations are capped; for path-shaped graphs
+Convergence is detected by counting label changes over the
+checkpointed frontier (an aggregate on materialized partitions, not a
+recompute).  Iterations are capped; for path-shaped graphs
 min-label propagation needs O(diameter) rounds — real sameAs graphs are
 star-heavy and converge in a handful."""
 
@@ -19,13 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-CHECKPOINT_EVERY = 3
-
-
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 25,
-    checkpoint_every: int = CHECKPOINT_EVERY,
 ) -> DataFrame:
     """edges(left_uri, right_uri) -> (uri, component) with component =
     min uri (lexicographic) of the component."""
@@ -49,7 +46,7 @@ def connected_components(
         .withColumn("component", F.col("uri"))
     )
 
-    for i in range(max_iterations):
+    for _ in range(max_iterations):
         # neighbor-min: for each node, min over its neighbors' labels
         neighbor_min = (
             sym.join(
@@ -73,14 +70,18 @@ def connected_components(
                 "component",
             )
         )
+        # checkpoint EVERY iteration: one materializing job per round
+        # (replacing a full-recompute count), so the convergence count
+        # and the next round's joins read materialized partitions and
+        # the lineage never grows — at cluster scale this is the
+        # standard iterate-checkpoint loop with O(1) plan depth.
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(
             F.col("new_component") != F.col("component")
         ).count()
         labels = new_labels.select(
             "uri", F.col("new_component").alias("component")
         )
-        if (i + 1) % checkpoint_every == 0 or changed == 0:
-            labels = labels.localCheckpoint(eager=True)
         if changed == 0:
             break
     return labels

@@ -59,17 +59,21 @@ def full_pipeline(
 ) -> DataFrame:
     """North-star end-to-end tail: triples -> blocked linking -> CC ->
     canonicalize -> dedup.  The triple DF feeds three consumers
-    (mention extraction, canonicalize, dedup) — persist it once so the
-    conversion plan runs a single time; unpersisted by the caller's
-    session teardown (at cluster scale this is an intermediate Iceberg
-    materialization, which the resume path needs anyway)."""
+    (mention extraction, canonicalize, dedup) — localCheckpoint it once
+    so (a) the conversion plan executes a single time and (b)
+    downstream plans reference the materialized result instead of
+    re-ANALYZING the large compiled-mapping expression tree on every
+    action (analysis runs before the cache lookup, so plain persist()
+    still costs seconds of driver time per downstream query).  At
+    cluster scale this is the intermediate Iceberg materialization the
+    resume path needs anyway (jobs/convert_job.py writes raw_triples)."""
     from ..operators.components import (
         canonicalize_triples,
         connected_components,
     )
     from ..operators.linking import link_mentions, mention_nodes, sameas_edges
 
-    triples = triples.persist()
+    triples = triples.localCheckpoint(eager=True)
     mentions = mention_nodes(triples, label_preds)
     links = link_mentions(mentions, authorities, threshold=threshold)
     comps = connected_components(sameas_edges(links))

@@ -139,14 +139,24 @@ def expected_records(n_pages: int) -> list[Record]:
 # Spark-distributed synthesis
 # ---------------------------------------------------------------------------
 
-def synth_web_pages(spark, n_pages: int, partitions: int | None = None):
+def synth_web_pages(
+    spark, n_pages: int, partitions: int | None = None, start: int = 0
+):
     """Distributed deterministic synthesis via mapInPandas over a range —
-    no driver-side materialization, scales to bench sizes."""
+    no driver-side materialization, scales to bench sizes.  ``start``
+    offsets the page-index range (shard [start, start+n_pages) — page i
+    is byte-identical regardless of which shard/process generates it)."""
     import pandas as pd
 
     from ..schema import WEB_PAGES_SCHEMA
 
-    partitions = partitions or max(8, min(256, n_pages // 2000 or 8))
+    # Default partitioning must keep every core busy through the whole
+    # narrow synth->extract->convert pass (it only widens at the dedup
+    # shuffle): at least 2x the scheduler's parallelism, bounded by
+    # ~250 pages/task so task overhead stays amortized.
+    if partitions is None:
+        par = spark.sparkContext.defaultParallelism
+        partitions = min(max(8, n_pages // 250), max(2 * par, 8))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -157,6 +167,6 @@ def synth_web_pages(spark, n_pages: int, partitions: int | None = None):
             yield pd.DataFrame(rows)
 
     return (
-        spark.range(0, n_pages, 1, partitions)
+        spark.range(start, start + n_pages, 1, partitions)
         .mapInPandas(gen, schema=WEB_PAGES_SCHEMA)
     )

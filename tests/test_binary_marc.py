@@ -1,0 +1,76 @@
+"""S1 binary ISO 2709 source (SURVEY.md §2.1; reference
+MARC::ForgivingReader, marc2rdf.rb:50): writer/parser round trip plus
+the Spark binaryFile-scan reader feeding the compiler."""
+
+from marc2rdf_spark.marc import (
+    find_record_strings,
+    parse_iso2709,
+    parse_record_xml,
+    record_to_dict,
+    record_to_iso2709,
+)
+
+
+def _fixture_records():
+    with open("fixtures/example.normarc.xml", encoding="utf-8") as f:
+        return [parse_record_xml(x) for x in find_record_strings(f.read())]
+
+
+def test_iso2709_round_trip():
+    recs = _fixture_records()
+    blob = b"".join(record_to_iso2709(r) for r in recs)
+    back = parse_iso2709(blob)
+    assert len(back) == len(recs)
+    for a, b in zip(recs, back):
+        assert record_to_dict(a)["controlfields"] == \
+            record_to_dict(b)["controlfields"]
+        assert record_to_dict(a)["datafields"] == \
+            record_to_dict(b)["datafields"]
+
+
+def test_iso2709_forgiving_skips_garbage():
+    recs = _fixture_records()
+    blob = (
+        b"garbage-without-leader\x1d"
+        + record_to_iso2709(recs[0])
+        + b"\x00\x01bad\x1d"
+        + record_to_iso2709(recs[1])
+    )
+    back = parse_iso2709(blob)
+    assert [r.first_value("001") for r in back] == [
+        recs[0].first_value("001"), recs[1].first_value("001")
+    ]
+
+
+def test_read_binary_marc_to_triples(spark, tmp_path):
+    """binaryFile scan -> Arrow parse -> records DF -> compiled mapping:
+    triples match the same records converted via the XML path."""
+    from marc2rdf_spark.compiler import MappingCompiler
+    from marc2rdf_spark.config import Library, load_dummy_mapping
+    from marc2rdf_spark.sources.binary_marc import read_binary_marc
+
+    recs = _fixture_records()
+    half = len(recs) // 2
+    (tmp_path / "a.mrc").write_bytes(
+        b"".join(record_to_iso2709(r) for r in recs[:half])
+    )
+    (tmp_path / "b.mrc").write_bytes(
+        b"".join(record_to_iso2709(r) for r in recs[half:])
+    )
+
+    records_df = read_binary_marc(spark, str(tmp_path))
+    assert records_df.count() == len(recs)
+
+    comp = MappingCompiler(load_dummy_mapping(), Library())
+    spark_triples = {
+        tuple(r) for r in comp.convert(records_df)
+        .select("subj", "pred", "obj").collect()
+    }
+
+    from marc2rdf_spark.oracle.converter import convert_records
+
+    oracle_triples = {
+        (t.subj, t.pred, t.obj)
+        for t in convert_records(recs, load_dummy_mapping(), Library())
+    }
+    assert spark_triples == oracle_triples
