@@ -10,19 +10,27 @@ conversion plan is then mapping-size-independent:
     records
       -> one explode of a unified field array (rec|cf|df rows)
       -> broadcast hash join with specs on (tag, kind)   [rule match P1]
-      -> one generic projection: conditions -> predicate, micro-operator
-         pipeline (substr|split -> substitute -> combine -> strip ->
-         urlize, exact order rdfmodeler.rb:75-131) -> per-object triple
-         array (parent + rdf:type + relation-subfield triples)
-      -> one explode -> triples
+      -> HYBRID emission, union of two branches:
+         * simple specs (no regex_split/combine/relation — the hot
+           path, 142/192 skeleton emissions): stacked scalar
+           projections (substr -> substitute -> strip -> urlize, exact
+           order rdfmodeler.rb:75-131) ending in a 0-or-1-row inline()
+           generator — fully WHOLE-STAGE-CODEGEN-eligible;
+         * complex specs: one generic array projection using
+           higher-order functions (transform/filter lambdas), which
+           Spark evaluates interpreted — per-object triple array
+           (parent + rdf:type + relation-subfield triples) -> inline().
 
 Why this shape at 100 TB (vs unrolling rules into the expression tree,
-kept as unrolled.py for cross-checking): the plan has O(distinct regex
-patterns) expression nodes instead of O(rules x operators), so driver
-plan-build, per-task plan deserialization, and codegen stay constant as
-mappings grow; regex patterns remain literals (compiled once); the only
+kept as unrolled.py for cross-checking): the plan is mapping-size-
+independent — regex patterns ride in the broadcast spec table as string
+columns consumed by pattern-column regexp expressions (compiled-last-
+pattern cache per site), so driver plan-build, per-task plan
+deserialization, and codegen stay constant as mappings grow; the only
 join is a broadcast of a few hundred spec rows.  One scan, no shuffle
-before the final dedup.
+before the final dedup.  The hot path must stay inside whole-stage
+codegen because interpreted evaluation is allocation-bound and was the
+measured multi-executor scaling bottleneck (BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
@@ -77,16 +85,21 @@ def _first_subfield(field: Column, code: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# dispatch chains: id column -> literal-pattern expression
+# pattern-column regex helpers.  Patterns are spec-table STRING COLUMNS
+# consumed directly by regexp_* expressions (non-foldable patterns are
+# supported with a compiled-last-pattern cache); CASE-dispatch chains
+# over interned patterns would multiply the expression tree by the
+# registry size and overflow janino's 64 KB codegen method limit.
+# Only regex_split still dispatches by interned id (capture-group split
+# semantics need compile-time pattern introspection).
 # ---------------------------------------------------------------------------
 
-def _dispatch_last(c: Column, id_col: Column, patterns: list[str]) -> Column:
-    """scan-last-match by interned pattern id; null when no id/no match."""
-    expr = None
-    for i, p in enumerate(patterns, 1):
-        m = last_match(c, p)
-        expr = F.when(id_col == i, m) if expr is None else expr.when(id_col == i, m)
-    return expr.otherwise(_null()) if expr is not None else _null()
+def _last_match_col(c: Column, pat: Column) -> Column:
+    """Last regex match of the pattern column; null when pattern is
+    null or nothing matches (Ruby scan-loop last-wins).  element_at(-1)
+    evaluates the regex ONCE (get(arr, size(arr)-1) would codegen the
+    extraction twice)."""
+    return F.element_at(F.regexp_extract_all(c, pat, F.lit(0)), F.lit(-1))
 
 
 def _dispatch_split(o: Column, id_col: Column, patterns: list[str]) -> Column:
@@ -104,18 +117,6 @@ def _dispatch_split(o: Column, id_col: Column, patterns: list[str]) -> Column:
         )
     default = F.array(o)
     return expr.otherwise(default) if expr is not None else default
-
-
-def _dispatch_strip(x: Column, id_col: Column, patterns: list[str]) -> Column:
-    expr = None
-    for i, p in enumerate(patterns, 1):
-        branch = F.regexp_replace(x, p, "")
-        expr = (
-            F.when(id_col == i, branch)
-            if expr is None
-            else expr.when(id_col == i, branch)
-        )
-    return expr.otherwise(x) if expr is not None else x
 
 
 class MappingCompiler:
@@ -153,7 +154,7 @@ class MappingCompiler:
 
         def _subst(x: Column) -> Column:
             cleaned = F.lower(F.regexp_replace(x, r"[\W]+", ""))
-            last = _dispatch_last(cleaned, s("subst_orig_id"), regs.last)
+            last = _last_match_col(cleaned, s("subst_orig"))
             # no-match => cleaned passthrough (rdfmodeler.rb:96-104);
             # matched-but-unmapped would crash the reference -> null,
             # filtered
@@ -162,7 +163,7 @@ class MappingCompiler:
             )
 
         arr = F.when(
-            s("subst_orig_id").isNotNull(),
+            s("subst_orig").isNotNull(),
             F.filter(F.transform(arr, _subst), lambda x: x.isNotNull()),
         ).otherwise(arr)
 
@@ -187,23 +188,21 @@ class MappingCompiler:
         ).otherwise(arr)
 
         arr = F.when(
-            s("strip_id").isNotNull(),
-            F.transform(
-                arr, lambda x: _dispatch_strip(x, s("strip_id"), regs.strip)
-            ),
+            s("strip_re").isNotNull(),
+            F.transform(arr, lambda x: F.regexp_replace(x, s("strip_re"), "")),
         ).otherwise(arr)
 
         return F.when(s("urlize"), F.transform(arr, urlize)).otherwise(arr)
 
     # -- conditions -> predicate (rdfmodeler.rb:200-234) ------------------
-    def _predicate(self, field: Column, s) -> Column:
+    def _predicate(self, field: Column, s, sf_first: Column) -> Column:
         regs = self.regs
         default = s("cond_default")
 
-        m = _first_subfield(field, s("cond_code"))
+        m = F.element_at(sf_first, s("cond_code"))
         cleaned = F.lower(F.regexp_replace(m, r"[\.\-]+", ""))
         cand_sub = F.element_at(
-            s("cond1_map"), _dispatch_last(cleaned, s("cond1_orig_id"), regs.last)
+            s("cond1_map"), _last_match_col(cleaned, s("cond1_orig"))
         )
         sub_pred = F.when(m.isNull() | (m == ""), default).otherwise(
             F.when(cand_sub.isNotNull() & (cand_sub != ""), cand_sub).otherwise(
@@ -212,12 +211,10 @@ class MappingCompiler:
         )
 
         cand1 = F.element_at(
-            s("cond1_map"),
-            _dispatch_last(field["ind1"], s("cond1_orig_id"), regs.last),
+            s("cond1_map"), _last_match_col(field["ind1"], s("cond1_orig"))
         )
         cand2 = F.element_at(
-            s("cond2_map"),
-            _dispatch_last(field["ind2"], s("cond2_orig_id"), regs.last),
+            s("cond2_map"), _last_match_col(field["ind2"], s("cond2_orig"))
         )
         ind_pred = (
             F.when(cand2.isNotNull() & (cand2 != ""), cand2)
@@ -298,9 +295,9 @@ class MappingCompiler:
                 F.flatten(F.transform(F.coalesce(s("rel"), F.array().cast(
                     "array<struct<code:string,pred:string,substr_off:int,"
                     "substr_len:int,split_id:int,"
-                    "subst_orig_id:int,subst_map:map<string,string>,"
+                    "subst_orig:string,subst_map:map<string,string>,"
                     "combine:array<string>,combine_sep:string,"
-                    "strip_id:int,urlize:boolean,"
+                    "strip_re:string,urlize:boolean,"
                     "datatype:string,prefix:string,lang:string>>"
                 )), per_rel)),
                 _empty_triples(),
@@ -361,11 +358,32 @@ class MappingCompiler:
         self, records: DataFrame, record_col: str = "record", keep: tuple = ("url",)
     ) -> DataFrame:
         """records DF (schema.RECORDS_SCHEMA) -> triples DF.  One scan,
-        one broadcast join, two explodes, no shuffle; dedup is the
-        materialize stage's concern (G8, SURVEY.md §2.4)."""
+        one broadcast join, no shuffle; dedup is the materialize
+        stage's concern (G8, SURVEY.md §2.4).
+
+        Hybrid emission: simple specs (no split/combine/relation — the
+        hot path) go through the scalar whole-stage-codegen branch; the
+        rest through the array/lambda branch (interpreted evaluator);
+        the union is the identical triple multiset."""
         spark = records.sparkSession
+        # first-subfield semantics via map_from_entries(reverse(...)):
+        # with LAST_WIN dedup the reversed array's last entry — the
+        # original FIRST occurrence — wins (ruby-marc field[code]).
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         kept = [c for c in keep if c in records.columns]
         record = F.col(record_col)
+        field = F.col("field")
+        sf_first_expr = F.map_from_entries(
+            F.reverse(
+                F.filter(
+                    F.coalesce(
+                        field["subfields"],
+                        F.array().cast("array<struct<code:string,value:string>>"),
+                    ),
+                    lambda sf: sf["code"].isNotNull(),
+                )
+            )
+        )
         fields = records.select(
             *kept,
             self.subject_expr(record).alias("subj"),
@@ -373,18 +391,19 @@ class MappingCompiler:
         ).select(
             *kept, "subj", "field",
             F.col("field.tag").alias("tag"), F.col("field.kind").alias("kind"),
+            sf_first_expr.alias("sf_first"),
         )
 
         joined = fields.join(F.broadcast(self.specs_df(spark)), ["tag", "kind"])
 
         spec = F.col("spec")
-        field = F.col("field")
         subj = F.col("subj")
         kind = F.col("kind")
+        sf_first = F.col("sf_first")
 
         src = (
             F.when(kind == "cf", field["value"])
-            .when(kind == "df", _first_subfield(field, spec["code"]))
+            .when(kind == "df", F.element_at(sf_first, spec["code"]))
             .otherwise(F.lit(""))
         )
         guard = (
@@ -396,19 +415,130 @@ class MappingCompiler:
         def s(name: str) -> Column:
             return spec[name]
 
-        objs = self._pipeline(src, s, field)
+        pred = self._predicate(field, s, sf_first)
+        simple = (
+            s("split_id").isNull() & s("combine").isNull()
+            & s("rel").isNull() & s("rel_class").isNull()
+        )
+
+        # --- scalar branch (codegen) -----------------------------------
+        # STACKED tiny projections, one per pipeline stage: each stage
+        # references its predecessor only as a cheap column attribute.
+        # A single when(stage).otherwise(prev) chain would duplicate the
+        # predecessor expression 2-3x PER STAGE (exponential textual
+        # blowup: measured ~100 regex sites / 18k generated lines for an
+        # 8-spec mapping), and the join-fused codegen method cannot be
+        # split (variable-streamed consume), overflowing janino's 64 KB
+        # method limit.  CollapseProject keeps the levels separate
+        # because each non-cheap alias is referenced more than once; the
+        # 0-or-1-element inline() array keeps the validity check inside
+        # the generator where no filter pushdown reaches.
+        carry = [*kept, "subj", "kind", "_dt", "_prefix", "_lang", "_pred"]
+        p0 = joined.where(simple & guard).select(
+            *kept, "subj", "kind",
+            spec["datatype"].alias("_dt"),
+            spec["prefix"].alias("_prefix"),
+            spec["lang"].alias("_lang"),
+            pred.alias("_pred"),
+            src.alias("_src"),
+            spec["substr_off"].alias("_sub_off"),
+            spec["substr_len"].alias("_sub_len"),
+            spec["subst_orig"].alias("_subst_orig"),
+            spec["subst_map"].alias("_subst_map"),
+            spec["strip_re"].alias("_strip_re"),
+            spec["urlize"].alias("_urlize"),
+        )
+        # substr stage (P5)
+        _src = F.col("_src")
+        off, ln = F.col("_sub_off"), F.col("_sub_len")
+        piece = _src.substr(off + F.lit(1), ln)
+        p1 = p0.select(
+            *carry, "_subst_orig", "_subst_map", "_strip_re", "_urlize",
+            F.when(
+                off.isNotNull(),
+                F.when(
+                    (F.length(_src) >= off + ln) & ~is_blank_stripped(piece),
+                    piece,
+                ),
+            ).otherwise(_src).alias("_o1"),
+        )
+        # substitute stage (P7): clean, last-match, map lookup
+        p2 = p1.select(
+            *carry, "_subst_orig", "_subst_map", "_strip_re", "_urlize",
+            "_o1",
+            F.lower(F.regexp_replace(F.col("_o1"), r"[\W]+", ""))
+            .alias("_cleaned"),
+        )
+        p3 = p2.select(
+            *carry, "_subst_orig", "_subst_map", "_strip_re", "_urlize",
+            "_o1", "_cleaned",
+            _last_match_col(F.col("_cleaned"), F.col("_subst_orig"))
+            .alias("_last"),
+        )
+        p4 = p3.select(
+            *carry, "_strip_re", "_urlize",
+            F.when(
+                F.col("_subst_orig").isNotNull(),
+                F.when(F.col("_last").isNull(), F.col("_cleaned")).otherwise(
+                    F.element_at(F.col("_subst_map"), F.col("_last"))
+                ),
+            ).otherwise(F.col("_o1")).alias("_o2"),
+        )
+        # strip stage (P9)
+        p5 = p4.select(
+            *carry, "_urlize",
+            F.when(
+                F.col("_strip_re").isNotNull(),
+                F.regexp_replace(F.col("_o2"), F.col("_strip_re"), ""),
+            ).otherwise(F.col("_o2")).alias("_o3"),
+        )
+        # urlize stage (P10)
+        p6 = p5.select(
+            *carry,
+            F.when(F.col("_urlize"), urlize(F.col("_o3")))
+            .otherwise(F.col("_o3")).alias("_o4"),
+        )
         # per-object strip-empty guard: controlfield branch ONLY (:168)
+        _o4 = F.col("_o4")
+        pre = p6.select(
+            *kept, "subj", "_dt", "_prefix", "_lang",
+            F.when(
+                F.col("kind") == "cf",
+                F.when(~is_blank_stripped(_o4), _o4),
+            ).otherwise(_o4).alias("_o"),
+            "_pred",
+        )
+        _o, _pred, _dt = F.col("_o"), F.col("_pred"), F.col("_dt")
+        obj_full = F.concat(F.coalesce(F.col("_prefix"), F.lit("")), _o)
+        t_struct = F.struct(
+            F.col("subj").alias("subj"),
+            _pred.alias("pred"),
+            F.when(_dt == "uri", obj_full).otherwise(_o).alias("obj"),
+            F.when(_dt == "uri", is_uri(obj_full))
+            .otherwise(F.lit(False)).alias("obj_is_uri"),
+            F.when(_dt == "literal", F.col("_lang"))
+            .otherwise(_null()).cast("string").alias("lang"),
+            F.when(_dt == "integer", F.lit("xsd:integer"))
+            .when(_dt == "float", F.lit("xsd:float"))
+            .otherwise(_null()).cast("string").alias("dtype"),
+        ).cast(TRIPLE_STRUCT_DDL)
+        valid = _o.isNotNull() & _pred.isNotNull() & (_pred != "")
+        arr = F.when(valid, F.array(t_struct)).otherwise(_empty_triples())
+        simple_df = pre.select(*kept, F.inline(arr))
+
+        # --- array branch (complex specs; interpreted evaluator) -------
+        objs = self._pipeline(src, s, field)
         objs = F.when(
             kind == "cf",
             F.filter(objs, lambda o: ~is_blank_stripped(o)),
         ).otherwise(objs)
-
-        pred = self._predicate(field, s)
         emission = self._emission(subj, field, spec, pred)
         triples_arr = F.flatten(F.transform(objs, emission))
-
         # F.inline = explode + struct-expansion in ONE generator: one
         # fewer chained select, and each chained DataFrame op on this
-        # tree costs a full eager JVM analysis pass (seconds for the
-        # compiled-mapping expression tree).
-        return joined.where(guard).select(*kept, F.inline(triples_arr))
+        # tree costs a full eager JVM analysis pass.
+        complex_df = joined.where(~simple & guard).select(
+            *kept, F.inline(triples_arr)
+        )
+
+        return simple_df.unionByName(complex_df)

@@ -31,41 +31,49 @@ from ..vocab import RDF_TYPE, Vocabulary
 ALL_TAGS = [f"{i:03d}" for i in range(1000)]
 REC_TAG = "REC"  # synthetic record-level field
 
+# Regex patterns ride in the spec rows as STRING COLUMNS and are used
+# directly by regexp_* expressions (Spark supports non-foldable
+# patterns with a compiled-last-pattern cache per expression instance).
+# The alternative — interning patterns and building CASE-dispatch
+# chains over every distinct pattern — multiplies the expression tree
+# by the registry size and overflows janino's 64 KB codegen method
+# limit.  Only regex_split keeps an interned id: Ruby's
+# split-with-capture-group semantics need compile-time pattern
+# introspection (functions/exprs.py split_with_captures).
 SPEC_SCHEMA = """
     tag string, kind string,
     spec struct<
         code: string,
         pred: string,
         cond_kind: string, cond_code: string,
-        cond1_orig_id: int, cond1_map: map<string,string>,
-        cond2_orig_id: int, cond2_map: map<string,string>,
+        cond1_orig: string, cond1_map: map<string,string>,
+        cond2_orig: string, cond2_map: map<string,string>,
         cond_default: string,
         substr_off: int, substr_len: int,
         split_id: int,
-        subst_orig_id: int, subst_map: map<string,string>,
+        subst_orig: string, subst_map: map<string,string>,
         combine: array<string>, combine_sep: string,
-        strip_id: int, urlize: boolean,
+        strip_re: string, urlize: boolean,
         datatype: string, prefix: string, lang: string,
         rel_class: string,
         rel: array<struct<
             code: string, pred: string,
             substr_off: int, substr_len: int,
-            split_id: int, subst_orig_id: int,
+            split_id: int, subst_orig: string,
             subst_map: map<string,string>,
             combine: array<string>, combine_sep: string,
-            strip_id: int, urlize: boolean,
+            strip_re: string, urlize: boolean,
             datatype: string, prefix: string, lang: string>>
     >
 """
 
 
 class Registries:
-    """Interned regex patterns; ids are 1-based, 0/None = absent."""
+    """Interned regex patterns; ids are 1-based, 0/None = absent.
+    Only regex_split patterns live here (see SPEC_SCHEMA note)."""
 
     def __init__(self):
         self.split: list[str] = []
-        self.strip: list[str] = []
-        self.last: list[str] = []  # scan-last-match patterns (orig)
 
     def intern(self, kind: str, pattern: str | None) -> int | None:
         if pattern is None:
@@ -75,6 +83,13 @@ class Registries:
             re.compile(pattern)  # fail fast on invalid regex
             lst.append(pattern)
         return lst.index(pattern) + 1
+
+    @staticmethod
+    def check(pattern: str | None) -> str | None:
+        """Fail fast on invalid regex; pattern passes through as data."""
+        if pattern is not None:
+            re.compile(pattern)
+        return pattern
 
 
 def _norm_lang(lang) -> str | None:
@@ -89,11 +104,11 @@ def _pipe_fields(ospec: dict, regs: Registries) -> dict:
         "substr_off": ospec.get("substr_offset"),
         "substr_len": ospec.get("substr_length"),
         "split_id": regs.intern("split", ospec.get("regex_split")),
-        "subst_orig_id": regs.intern("last", rs["orig"]) if rs else None,
+        "subst_orig": regs.check(rs["orig"]) if rs else None,
         "subst_map": dict(rs["subs"]) if rs else None,
         "combine": list(ospec["combine"]) if ospec.get("combine") else None,
         "combine_sep": ospec.get("combinestring"),
-        "strip_id": regs.intern("strip", ospec.get("regex_strip")),
+        "strip_re": regs.check(ospec.get("regex_strip")),
         "urlize": bool(ospec.get("urlize")),
     }
 
@@ -101,8 +116,8 @@ def _pipe_fields(ospec: dict, regs: Registries) -> dict:
 def _cond_fields(sub: dict, regs: Registries, expand) -> dict:
     out = {
         "cond_kind": None, "cond_code": None,
-        "cond1_orig_id": None, "cond1_map": None,
-        "cond2_orig_id": None, "cond2_map": None,
+        "cond1_orig": None, "cond1_map": None,
+        "cond2_orig": None, "cond2_map": None,
         "cond_default": None,
     }
     cond = sub.get("conditions")
@@ -115,7 +130,7 @@ def _cond_fields(sub: dict, regs: Registries, expand) -> dict:
         out.update(
             cond_kind="sub",
             cond_code=key,
-            cond1_orig_id=regs.intern("last", value["orig"]),
+            cond1_orig=regs.check(value["orig"]),
             cond1_map={k: expand(v) for k, v in value["subs"].items()},
             cond_default=expand(value["default"]) if value.get("default") else None,
         )
@@ -123,12 +138,12 @@ def _cond_fields(sub: dict, regs: Registries, expand) -> dict:
         ind = cond["indicator"]
         out["cond_kind"] = "ind"
         if ind.get("indicator1"):
-            out["cond1_orig_id"] = regs.intern("last", ind["indicator1"]["orig"])
+            out["cond1_orig"] = regs.check(ind["indicator1"]["orig"])
             out["cond1_map"] = {
                 k: expand(v) for k, v in ind["indicator1"]["subs"].items()
             }
         if ind.get("indicator2"):
-            out["cond2_orig_id"] = regs.intern("last", ind["indicator2"]["orig"])
+            out["cond2_orig"] = regs.check(ind["indicator2"]["orig"])
             out["cond2_map"] = {
                 k: expand(v) for k, v in ind["indicator2"]["subs"].items()
             }
@@ -141,13 +156,13 @@ def _cond_fields(sub: dict, regs: Registries, expand) -> dict:
 _EMPTY_SPEC = {
     "code": None, "pred": None,
     "cond_kind": None, "cond_code": None,
-    "cond1_orig_id": None, "cond1_map": None,
-    "cond2_orig_id": None, "cond2_map": None,
+    "cond1_orig": None, "cond1_map": None,
+    "cond2_orig": None, "cond2_map": None,
     "cond_default": None,
     "substr_off": None, "substr_len": None,
-    "split_id": None, "subst_orig_id": None, "subst_map": None,
+    "split_id": None, "subst_orig": None, "subst_map": None,
     "combine": None, "combine_sep": None,
-    "strip_id": None, "urlize": False,
+    "strip_re": None, "urlize": False,
     "datatype": "literal", "prefix": None, "lang": None,
     "rel_class": None, "rel": None,
 }
