@@ -42,8 +42,6 @@ from ..config import Library, Mapping
 from ..functions.exprs import (
     is_blank_stripped,
     is_uri,
-    last_match,
-    ruby_strip,
     split_with_captures,
     urlize,
 )
