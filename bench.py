@@ -78,7 +78,7 @@ def main() -> None:
     synth_and_convert(spark, 300, "skeleton", partitions=4).count()
 
     def kg_pipeline():
-        t = synth_and_convert(spark, n_pages, "skeleton")
+        t = synth_and_convert(spark, n_pages, "skeleton", cache_records=True)
         # localCheckpoint: materialize AND break lineage, so the link/CC
         # stage below doesn't re-analyze the conversion tree per action
         t = t.localCheckpoint(eager=True)

@@ -17,7 +17,9 @@ triple array for that record via nested higher-order functions
 
 Scale properties (the 100 TB design point):
  - ONE pass over the input, no shuffle until the final dedup;
- - everything stays in whole-stage codegen (no Python in the hot path);
+ - no Python in the hot path (note: the higher-order-function lambdas
+   are NOT whole-stage-codegen-eligible — they run on the interpreted
+   evaluator, which is why compiler.py grew a scalar codegen branch);
  - the mapping itself is compile-time constant — embedded in the plan as
    literals, never shuffled or broadcast as data;
  - nested-field pruning keeps the scan at the columns the rules touch.

@@ -66,7 +66,11 @@ def run_resumable(
     todo = pages_b.filter(~F.col("bucket").isin(list(done)) if done else F.lit(True))
     if todo.limit(1).count() > 0:
         records = extract_and_parse(todo.drop("bucket"))
-        triples = MappingCompiler(mapping, library).convert(records)
+        # cache_records: the hybrid plan's two branches would otherwise
+        # run the Arrow extract stage twice inside this checkpoint job
+        triples = MappingCompiler(mapping, library).convert(
+            records, cache_records=True
+        )
         triples_b = _with_bucket(triples, ["url"], n_buckets).select(
             *TRIPLE_COLS, "url", "bucket"
         )

@@ -29,12 +29,15 @@ def convert_pages(
     mapping: Mapping | str = "skeleton",
     library: Library | None = None,
     dedup: bool = True,
+    cache_records: bool = False,
 ) -> DataFrame:
     """web_pages DF -> deduplicated triples DF."""
     if isinstance(mapping, str):
         mapping = load_mapping(mapping)
     records = extract_and_parse(pages)
-    triples = MappingCompiler(mapping, library or Library()).convert(records)
+    triples = MappingCompiler(mapping, library or Library()).convert(
+        records, cache_records=cache_records
+    )
     triples = triples.select(TRIPLE_COLS)
     return triples.dropDuplicates(TRIPLE_COLS) if dedup else triples
 
@@ -45,9 +48,11 @@ def synth_and_convert(
     mapping: Mapping | str = "skeleton",
     partitions: int | None = None,
     dedup: bool = True,
+    cache_records: bool = False,
 ) -> DataFrame:
     return convert_pages(
-        synth_web_pages(spark, n_pages, partitions), mapping, dedup=dedup
+        synth_web_pages(spark, n_pages, partitions), mapping, dedup=dedup,
+        cache_records=cache_records,
     )
 
 

@@ -169,10 +169,13 @@ def run_level(
         # equivalent of a real executor's cgroup.  Without pinning,
         # local[k] freeloads far beyond k cores (Python workers, GC and
         # JIT threads), so the small level would be silently
-        # over-provisioned and the comparison meaningless.
-        cpus = ",".join(
-            str(c) for c in range(wid * cores, (wid + 1) * cores)
-        )
+        # over-provisioned and the comparison meaningless.  Executors
+        # fill from the TOP cpu ids down: system daemons and the
+        # coordinating shell schedule onto low cpu ids, and a single
+        # straggler executor sharing cpu 0-3 skews the whole wall time.
+        n_cpus = os.cpu_count() or 32
+        hi = n_cpus - wid * cores
+        cpus = ",".join(str(c) for c in range(hi - cores, hi))
         procs.append(
             subprocess.Popen(
                 ["taskset", "-c", cpus, sys.executable, "-c", code],
@@ -224,15 +227,34 @@ def main() -> None:
         "--corpus", default="/tmp/scale_corpus",
         help="pre-written web_pages parquet location",
     )
+    ap.add_argument(
+        "--repeats", type=int, default=1,
+        help="interleaved repeats per level; medians reported (host "
+        "performance drifts; a single pair is +/-0.1 efficiency noise)",
+    )
     args = ap.parse_args()
 
     print("writing corpus (one-time, untimed)...", flush=True)
     write_corpus(args.pages, args.shards, args.corpus)
 
-    low = run_level(args.low, args.cores_per_exec, args.corpus, args.shards)
-    print("low :", json.dumps(low))
-    high = run_level(args.high, args.cores_per_exec, args.corpus, args.shards)
-    print("high:", json.dumps(high))
+    import statistics
+
+    lows, highs = [], []
+    for r in range(args.repeats):
+        lo = run_level(args.low, args.cores_per_exec, args.corpus, args.shards)
+        print(f"low[{r}] :", json.dumps(lo), flush=True)
+        hi = run_level(args.high, args.cores_per_exec, args.corpus, args.shards)
+        print(f"high[{r}]:", json.dumps(hi), flush=True)
+        lows.append(lo)
+        highs.append(hi)
+    low = min(lows, key=lambda x: abs(
+        x["wall_seconds"] - statistics.median(y["wall_seconds"] for y in lows)
+    ))
+    high = min(highs, key=lambda x: abs(
+        x["wall_seconds"] - statistics.median(y["wall_seconds"] for y in highs)
+    ))
+    print("median low :", json.dumps(low))
+    print("median high:", json.dumps(high))
 
     speedup = high["triples_per_sec"] / low["triples_per_sec"]
     factor = args.high / args.low
