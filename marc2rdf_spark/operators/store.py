@@ -44,7 +44,8 @@ def _subjects_df(triples: DataFrame, subjects) -> DataFrame:
     if isinstance(subjects, DataFrame):
         return subjects.select(F.col(subjects.columns[0]).alias("subj")).distinct()
     spark = triples.sparkSession
-    return spark.createDataFrame([(s,) for s in subjects], ["subj"]).distinct()
+    # dedupe driver-side: keeps the broadcast subtree shuffle-free
+    return spark.createDataFrame([(s,) for s in sorted(set(subjects))], ["subj"])
 
 
 def select_record(triples: DataFrame, subj: str) -> DataFrame:
@@ -58,14 +59,25 @@ def delete_record_preserving(
     """U1: DELETE {S ?p ?o} MINUS preserved predicates
     (sparql_update.rb:30-42; preserve list libraries.json:17-22).
 
-    Rows of `subjects` with non-preserved predicates are removed; the
-    subjects side is broadcast (small per batch)."""
+    Rows of `subjects` with non-preserved predicates are removed.  The
+    subjects side is broadcast (small per batch) and the store is only
+    *filtered* — a broadcast left join + keep-predicate, so the store
+    side never shuffles (the reference's own semantics is a per-subject
+    predicate, not a bag difference)."""
     preserve = _expand_all(preserve_pred_refs)
-    subs = F.broadcast(_subjects_df(triples, subjects))
-    doomed = triples.join(subs, "subj", "left_semi")
+    subs = F.broadcast(
+        _subjects_df(triples, subjects).withColumn("__doomed", F.lit(True))
+    )
+    matched = F.col("__doomed").isNotNull()
     if preserve:
-        doomed = doomed.filter(~F.col("pred").isin(preserve))
-    return triples.exceptAll(doomed)
+        doomed = matched & ~F.col("pred").isin(preserve)
+    else:
+        doomed = matched
+    return (
+        triples.join(subs, "subj", "left")
+        .filter(~F.coalesce(doomed, F.lit(False)))
+        .drop("__doomed")
+    )
 
 
 def purge_record(triples: DataFrame, subjects) -> DataFrame:
@@ -97,13 +109,21 @@ def delete_old_authorities(
     preserve_pred_refs=AUTHORITY_PRESERVE_REFS,
 ) -> DataFrame:
     """U2: delete store triples of authority nodes present in the fresh
-    batch, preserving skos:broader/narrower + owl:sameAs."""
+    batch, preserving skos:broader/narrower + owl:sameAs.
+
+    Same no-store-shuffle shape as delete_record_preserving: the (small)
+    authority-subject set is broadcast and the store is filtered in
+    place."""
     preserve = _expand_all(preserve_pred_refs)
-    auth = F.broadcast(authority_nodes(fresh_triples))
-    doomed = triples.join(auth, "subj", "left_semi").filter(
-        ~F.col("pred").isin(preserve)
+    auth = F.broadcast(
+        authority_nodes(fresh_triples).withColumn("__doomed", F.lit(True))
     )
-    return triples.exceptAll(doomed)
+    doomed = F.col("__doomed").isNotNull() & ~F.col("pred").isin(preserve)
+    return (
+        triples.join(auth, "subj", "left")
+        .filter(~F.coalesce(doomed, F.lit(False)))
+        .drop("__doomed")
+    )
 
 
 def upsert_records(

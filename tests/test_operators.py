@@ -88,6 +88,46 @@ def test_upsert_records(spark, store):
     assert ("d1", "http://www.w3.org/2002/07/owl#sameAs", "d9") in rows
 
 
+def test_delete_ops_never_shuffle_the_store(spark, store):
+    """Plan regression (VERDICT r1 #2): U1/U2 must be broadcast-join +
+    filter — the store side must never hash-repartition.  The old
+    exceptAll formulation shuffled BOTH sides on all six triple columns."""
+    from marc2rdf_spark.operators.store import (
+        delete_old_authorities,
+        delete_record_preserving,
+        upsert_records,
+    )
+
+    plan = delete_record_preserving(
+        store, ["d1"], ("OWL.sameAs",)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    plan = delete_old_authorities(
+        store, store
+    )._jdf.queryExecution().executedPlan().toString()
+    # the only allowed shuffle is the tiny auth-side distinct (on subj);
+    # a store-wide shuffle would partition on the full triple row
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "pred" not in line, line
+
+    fresh = spark.createDataFrame(
+        [("d1", "title", "t", False, None, None)], TSCHEMA
+    )
+    plan = upsert_records(
+        store, fresh, ("OWL.sameAs",)
+    )._jdf.queryExecution().executedPlan().toString()
+    # upsert keeps exactly ONE store-wide shuffle: the A4 dedup-on-insert
+    n_wide = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "pred" in line
+    )
+    assert n_wide <= 1, plan
+
+
 # ---------------------------------------------------------------------------
 
 
