@@ -1,24 +1,75 @@
-"""URI canonicalization via iterative-join connected components
+"""URI canonicalization via connected components
 (BASELINE.json north_star; SURVEY.md §2.6 "north-rule additions").
 
-Algorithm: alternating min-label propagation (the large-star/small-star
-family, cf. Kiveris et al., "Connected Components in MapReduce and
-Beyond"): each node repeatedly adopts the minimum id among itself and
-its neighbors' current labels until fixpoint.  Each iteration is one
-shuffle (groupBy node -> min label); the frontier is localCheckpointed
-every iteration so plan depth stays O(1) — growing lineage is the
-standard failure mode of iterative DataFrame algorithms.
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — O(log n)
+rounds regardless of component diameter, unlike plain min-label
+propagation which needs O(diameter) rounds and melts on chain-shaped
+sameAs graphs at scale:
 
-Convergence is detected by counting label changes over the
-checkpointed frontier (an aggregate on materialized partitions, not a
-recompute).  Iterations are capped; for path-shaped graphs
-min-label propagation needs O(diameter) rounds — real sameAs graphs are
-star-heavy and converge in a handful."""
+ - large-star: for every node u, connect each strictly-larger neighbor
+   v > u to m = min(N(u) + {u});
+ - small-star: orient edges (big -> small); for every node u, connect
+   its smaller neighbors and u itself to m = min of them.
+
+Each operation is one partial-aggregating groupBy (min per node) plus a
+co-partitioned join (both sides hash-partitioned on the node key by the
+preceding aggregate).  The frontier is localCheckpointed every round so
+plan depth stays O(1); convergence is detected on materialized
+partitions via (count, xxhash64-sum) of the edge set — no recompute.
+
+At fixpoint every component is a star centred on its minimum node, so
+labels fall out of the final edge list without a propagation join."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _orient(edges: DataFrame) -> DataFrame:
+    """(src,dst) -> (u,v) with u > v, self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to min(N(u) + {u}).  Input edges in
+    any orientation (no self-loops); output oriented (big, small)."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect all smaller neighbors of u (and u) to their minimum.
+    Input/output oriented (big, small)."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        edges.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    return relink.union(mins.select("u", F.col("m").alias("v"))).distinct()
+
 
 def connected_components(
     edges: DataFrame,
@@ -26,64 +77,37 @@ def connected_components(
 ) -> DataFrame:
     """edges(left_uri, right_uri) -> (uri, component) with component =
     min uri (lexicographic) of the component."""
-    sym = (
-        edges.select(
-            F.col("left_uri").alias("src"), F.col("right_uri").alias("dst")
-        )
-        .union(
-            edges.select(
-                F.col("right_uri").alias("src"), F.col("left_uri").alias("dst")
-            )
-        )
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    raw = edges.select(
+        F.col("left_uri").alias("src"), F.col("right_uri").alias("dst")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    # node universe includes self-loop-only nodes (labelled as selves)
+    nodes = (
+        raw.select(F.col("src").alias("uri"))
+        .union(raw.select(F.col("dst").alias("uri")))
         .distinct()
-    )
-    sym = sym.localCheckpoint(eager=True)
-
-    labels = (
-        sym.select(F.col("src").alias("uri"))
-        .distinct()
-        .withColumn("component", F.col("uri"))
+        .localCheckpoint(eager=True)
     )
 
+    e = _orient(raw).localCheckpoint(eager=True)
+    prev = None
     for _ in range(max_iterations):
-        # neighbor-min: for each node, min over its neighbors' labels
-        neighbor_min = (
-            sym.join(
-                labels.withColumnRenamed("uri", "dst").withColumnRenamed(
-                    "component", "dst_component"
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("dst_component").alias("nbr_component"))
-            .withColumnRenamed("src", "uri")
-        )
-        new_labels = (
-            labels.join(neighbor_min, "uri", "left")
-            .select(
-                "uri",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("new_component"),
-                "component",
-            )
-        )
-        # checkpoint EVERY iteration: one materializing job per round
-        # (replacing a full-recompute count), so the convergence count
-        # and the next round's joins read materialized partitions and
-        # the lineage never grows — at cluster scale this is the
-        # standard iterate-checkpoint loop with O(1) plan depth.
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(
-            F.col("new_component") != F.col("component")
-        ).count()
-        labels = new_labels.select(
-            "uri", F.col("new_component").alias("component")
-        )
-        if changed == 0:
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("chk"),
+        ).collect()[0]
+        state = (row.n, row.chk)
+        if state == prev:
             break
+        prev = state
+
+    # fixpoint edges are stars (node -> component min); roots and
+    # isolated nodes label themselves
+    labels = nodes.join(
+        e.select(F.col("u").alias("uri"), F.col("v").alias("root")),
+        "uri",
+        "left",
+    ).select("uri", F.coalesce("root", "uri").alias("component"))
     return labels
 
 

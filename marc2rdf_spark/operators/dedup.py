@@ -77,15 +77,33 @@ def _perm_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
+def _content_hash(col: Column, hash_fn: str) -> Column:
+    """60-bit content hash of a string column.
+
+    ``xxhash64`` (default) is the fast JVM path; ``md5`` derives the
+    integer from the first 15 hex chars of md5 — slower, but exactly
+    replicable in ANSI SQL (DuckDB ``CAST('0x'||substr(md5(s),1,15) AS
+    BIGINT)``), which is what gives the LSH family full value-level
+    oracles instead of rows-only checks."""
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        h = F.abs(F.xxhash64(col))
+    else:  # pragma: no cover
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return h % F.lit(_MERSENNE)
+
+
 def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 64, n: int = 3
+    docs: DataFrame, num_hashes: int = 64, n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, sig array<long>): one explode pass computes each shingle
     hash once; the permutations are MIN aggregates (map-side partial)."""
     coeffs = _perm_coeffs(num_hashes)
     sh = docs.select(
         "doc_id", F.explode(shingles(F.col("text"), n)).alias("s")
-    ).withColumn("h", F.abs(F.xxhash64("s")) % F.lit(_MERSENNE))
+    ).withColumn("h", _content_hash(F.col("s"), hash_fn))
     h31 = F.col("h") % F.lit(2147483647)
     aggs = [
         F.min((F.lit(a) * h31 + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh_{i}")
@@ -103,26 +121,28 @@ def lsh_candidate_pairs(
     bands: int = 16,
     n: int = 3,
     max_bucket: int = 50,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH blocking join: band the signature, bucket by the
     band's hash, equi-join within buckets -> candidate pairs (a < b).
 
     ``max_bucket`` caps degenerate hot buckets (boilerplate-heavy
     corpora) to bound the pair explosion — the capped count should be
-    surfaced as a metric at scale."""
+    surfaced as a metric at scale (see ``lsh_capped_count``)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n)
+    sig = minhash_signatures(docs, num_hashes, n, hash_fn)
+
+    def band_key(b: int) -> Column:
+        sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        if hash_fn == "md5":
+            # SQL-replicable bucket key: md5 of the comma-joined minima
+            return F.md5(F.concat_ws(",", sl.cast("array<string>")))
+        return F.hash(sl).cast("string")
+
     banded = sig.select(
         "doc_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.hash(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                    )
-                    for b in range(bands)
-                ]
-            )
+            F.array(*[band_key(b) for b in range(bands)])
         ).alias("band", "bucket"),
     )
     # cap hot buckets deterministically (keep lowest doc_ids)
@@ -140,6 +160,50 @@ def lsh_candidate_pairs(
         .select("a", "b")
         .distinct()
     )
+
+
+def lsh_cap_metrics(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    max_bucket: int = 50,
+    hash_fn: str = "xxhash64",
+) -> dict:
+    """Observability for the hot-bucket cap (VERDICT r1 #6): how many
+    (doc, band) rows the ``max_bucket`` cap silently drops.  One extra
+    aggregate over the banded signatures — run alongside the dedup job,
+    not inside it."""
+    from pyspark.sql.window import Window
+
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, hash_fn)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ).cast("string")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    w = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    row = (
+        banded.withColumn("rn", F.row_number().over(w))
+        .agg(
+            F.count("*").alias("banded_rows"),
+            F.sum((F.col("rn") > max_bucket).cast("long")).alias("capped_rows"),
+        )
+        .collect()[0]
+    )
+    return {
+        "banded_rows": row.banded_rows,
+        "capped_rows": row.capped_rows or 0,
+    }
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
@@ -168,13 +232,27 @@ def near_duplicates(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh): 64-bit SimHash — per-token xxhash64 computed once
-    (explode), 64 bit-vote SUM aggregates, sign -> bit."""
+def simhash_signatures(
+    docs: DataFrame, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(doc_id, sh): SimHash — per-token hash computed once (explode),
+    bit-vote SUM aggregates, sign -> bit.
+
+    ``xxhash64`` mode is the full 64-bit sketch (fast path); ``md5``
+    mode votes over the 60-bit md5-derived hash (bits 60-63 stay 0) so
+    the whole signature is replicable in ANSI SQL for the oracle check
+    — a marginally weaker sketch, same asymptotics."""
+    if hash_fn == "md5":
+        h, bits = (
+            F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long"),
+            60,
+        )
+    else:
+        h, bits = F.xxhash64("t"), 64
     tok = docs.select(
         "doc_id",
         F.explode(F.split(normalized_text(F.col("text")), " ")).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", h)
     votes = [
         F.sum(
             F.when(
@@ -183,11 +261,11 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
                 1,
             ).otherwise(-1)
         ).alias(f"v{i}")
-        for i in range(64)
+        for i in range(bits)
     ]
     agg = tok.groupBy("doc_id").agg(*votes)
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(bits):
         sig = sig.bitwiseOR(
             F.when(
                 F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
@@ -196,10 +274,14 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", sig.alias("sh"))
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs by 16-bit-block blocking (any pair within
-    Hamming distance k must share at least one of k+1 blocks)."""
-    sigs = simhash_signatures(docs)
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 3, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """SimHash near-dup pairs by bit-block blocking (any pair within
+    Hamming distance k must share at least one of k+1 blocks — exact
+    pigeonhole recall, so the blocked output EQUALS the all-pairs
+    hamming filter)."""
+    sigs = simhash_signatures(docs, hash_fn)
     blocks = max_hamming + 1
     width = 64 // blocks
     banded = sigs.select(

@@ -32,21 +32,30 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType(), True),
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        # exact integer lanes (feature = feature_u32 / 2^32): kept so
+        # downstream checks can compare features without float fuzz
+        T.StructField("feature_u32", T.ArrayType(T.LongType()), True),
     ]
 )
 
 FEATURE_DIM = 8
 
 
-def deterministic_fake_decode(payload: bytes) -> list[float]:
-    """Seed-stable stand-in for a real decode+embed kernel."""
+def deterministic_fake_decode_u32(payload: bytes) -> list[int]:
+    """Seed-stable stand-in kernel, exact integer form: the first
+    FEATURE_DIM big-endian uint32 lanes of sha256(payload)."""
     if payload is None:
-        return [0.0] * FEATURE_DIM
+        return [0] * FEATURE_DIM
     digest = hashlib.sha256(payload).digest()
     return [
-        int.from_bytes(digest[i * 4 : (i + 1) * 4], "big") / 2**32  # noqa: E203
+        int.from_bytes(digest[i * 4 : (i + 1) * 4], "big")  # noqa: E203
         for i in range(FEATURE_DIM)
     ]
+
+
+def deterministic_fake_decode(payload: bytes) -> list[float]:
+    """Seed-stable stand-in for a real decode+embed kernel."""
+    return [u / 2**32 for u in deterministic_fake_decode_u32(payload)]
 
 
 def _decode_image(payload: bytes) -> list[float]:
@@ -72,6 +81,7 @@ def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
 
     def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            u32 = [deterministic_fake_decode_u32(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -79,7 +89,12 @@ def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
                     "n_bytes": [
                         len(p) if p is not None else 0 for p in pdf["payload"]
                     ],
-                    "feature": [decode(p) for p in pdf["payload"]],
+                    "feature": (
+                        [decode(p) for p in pdf["payload"]]
+                        if real_decode
+                        else [[u / 2**32 for u in row] for row in u32]
+                    ),
+                    "feature_u32": u32,
                 }
             )
 

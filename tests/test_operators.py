@@ -227,6 +227,36 @@ def test_connected_components_shapes(spark):
     assert comp["h1"] == comp["h2"] == comp["h3"] == comp["h"] == "h"
 
 
+def test_connected_components_path_graph_log_rounds(spark):
+    """A 1000-node path is the adversarial case for min-label
+    propagation (diameter 999).  Large-star/small-star must converge in
+    O(log n) rounds — cap at 15 and require correct labels, which fails
+    if convergence needs more."""
+    from marc2rdf_spark.operators.components import connected_components
+
+    n = 1000
+    edges = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(n - 1)],
+        ["left_uri", "right_uri"],
+    ).repartition(8)
+    comp = {
+        r.uri: r.component
+        for r in connected_components(edges, max_iterations=15).collect()
+    }
+    assert len(comp) == n
+    assert set(comp.values()) == {"n0000"}
+
+
+def test_connected_components_self_loop_only_node(spark):
+    from marc2rdf_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [("s", "s"), ("a", "b")], ["left_uri", "right_uri"]
+    )
+    comp = {r.uri: r.component for r in connected_components(edges).collect()}
+    assert comp == {"s": "s", "a": "a", "b": "a"}
+
+
 def test_canonicalize_rewrites_subj_and_uri_obj(spark):
     from marc2rdf_spark.operators.components import (
         canonicalize_triples,
@@ -267,6 +297,100 @@ def test_linking_matches_exact_and_noisy(spark):
     assert links.get("m1") == "a1"
     assert links.get("m2") == "a1"
     assert "m3" not in links
+
+
+def test_blocking_recall_is_total(spark):
+    """Pins the kg_link_entities / kg_full_pipeline oracle assumption:
+    on the golden fixture, the MinHash-blocked linking join finds the
+    same best matches as exhaustive all-pairs scoring (blocking recall
+    1.0 for this data).  If a fixture change breaks this, the DuckDB
+    oracles must switch back to rows-only."""
+    import os
+
+    from marc2rdf_spark.operators.linking import (
+        link_mentions,
+        mention_nodes,
+        trigram_jaccard_udf,
+    )
+
+    golden = os.path.join(
+        os.path.dirname(__file__), "..", "fixtures", "golden"
+    )
+    triples = spark.read.parquet(
+        os.path.join(golden, "triples_skeleton.parquet")
+    )
+    authorities = spark.read.parquet(os.path.join(golden, "authorities.parquet"))
+    label_pred = "http://def.bibsys.no/xmlns/radatana/1.0#catalogueName"
+    mentions = mention_nodes(triples, [label_pred])
+
+    blocked = {
+        (r.mention_uri, r.auth_id, r.score)
+        for r in link_mentions(mentions, authorities, threshold=0.7).collect()
+    }
+
+    allpairs = (
+        mentions.select("mention_uri", F.col("label").alias("m_label"))
+        .crossJoin(
+            authorities.select("auth_id", F.col("label").alias("a_label"))
+        )
+        .withColumn(
+            "score", trigram_jaccard_udf(F.col("m_label"), F.col("a_label"))
+        )
+        .filter(F.col("score") >= 0.7)
+        .groupBy("mention_uri")
+        .agg(
+            F.max_by(
+                F.struct(F.col("auth_id"), F.round("score", 4).alias("score")),
+                F.struct(F.col("score"), F.col("auth_id")),
+            ).alias("best")
+        )
+        .select(
+            "mention_uri",
+            F.col("best.auth_id").alias("auth_id"),
+            F.col("best.score").alias("score"),
+        )
+    )
+    exact = {(r.mention_uri, r.auth_id, r.score) for r in allpairs.collect()}
+    assert blocked == exact and blocked
+
+
+def test_ann_lsh_matches_brute_force(spark):
+    """Pins the ann_lsh_topk oracle assumption: LSH candidates cover the
+    true top-5 at the driver's correctness scale (sf0.01)."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        pytest.skip("driver testdata not present")
+    from marc2rdf_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 3)
+    lsh = {
+        (r.q_id, r.n_id, r.rank)
+        for r in lsh_topk(emb, queries, k=5, dim=16).collect()
+    }
+    brute = {
+        (r.q_id, r.n_id, r.rank)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    assert lsh == brute and len(lsh) == 15
+
+
+def test_minhash_md5_mode_equivalent_shape(docs):
+    """md5 hash mode returns the same near-dup pairs as xxhash64 mode on
+    the toy corpus (both find the (1,2) exact pair and (1,3)/(2,3))."""
+    from marc2rdf_spark.operators.dedup import near_duplicates
+
+    fast = {
+        (r.a, r.b) for r in near_duplicates(docs, threshold=0.5).collect()
+    }
+    sql_mode = {
+        (r.a, r.b)
+        for r in near_duplicates(docs, threshold=0.5, hash_fn="md5").collect()
+    }
+    assert (1, 2) in fast and (1, 2) in sql_mode
+    assert fast == sql_mode
 
 
 def test_multimodal_feature_plumbing(spark):
