@@ -93,3 +93,24 @@ def test_skeleton_mapping_exact_parity(records_df):
 def test_synth_determinism():
     a, b = gen_page(17), gen_page(17)
     assert a == b
+
+
+def test_three_way_parity_unrolled_vs_hybrid_vs_oracle(records_df):
+    """Three independent implementations of the mapping algebra must
+    agree exactly on the full skeleton mapping: the unrolled
+    expression-tree compiler, the production hybrid codegen compiler,
+    and the pure-Python oracle (VERDICT r1 #8 — makes unrolled.py pay
+    rent as a genuinely independent cross-check)."""
+    from marc2rdf_spark.compiler.unrolled import UnrolledMappingCompiler
+
+    mapping = load_skeleton_mapping()
+    unrolled = UnrolledMappingCompiler(mapping, Library()).convert(records_df)
+    got_unrolled = {
+        tuple(r)
+        for r in unrolled.dropDuplicates(TRIPLE_COLS)
+        .select(*TRIPLE_COLS)
+        .collect()
+    }
+    got_hybrid = _spark_triples(records_df, mapping)
+    exp = _oracle_triples(mapping)
+    assert got_unrolled == got_hybrid == exp
