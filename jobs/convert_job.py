@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--link", action="store_true",
                     help="run entity linking + canonicalization")
+    ap.add_argument("--extract-id", default=None,
+                    help="reuse another run's raw-records staging zone "
+                         "(mapping-change replay without re-extraction)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -54,6 +57,7 @@ def main() -> None:
     triples = run_resumable(
         spark, pages, args.out, args.run_id,
         mapping=args.mapping, n_buckets=args.buckets,
+        extract_id=args.extract_id,
     )
 
     if args.link:

@@ -1,8 +1,17 @@
-"""Resumable two-stage materialization (SURVEY.md §7 step 6):
+"""Resumable three-stage materialization (SURVEY.md §7 step 6; raw
+staging zone per S5):
 
- stage "convert":     pages bucketed by url-hash -> raw triples,
-                      written partitionBy(bucket) with dynamic
-                      partition overwrite; lineage row per bucket.
+ stage "extract":     pages bucketed by url-hash -> raw RECORDS
+                      (url, record_xml, parsed struct) — the
+                      pre-conversion replay zone (the reference stages
+                      raw harvest XML to db/converted/full/*.xml and
+                      replays it, scheduler.rb:477-485,
+                      oaiclient.rb:112-124).  Keyed by ``extract_id`` so
+                      a mapping change replays conversion WITHOUT
+                      re-running the Arrow extract stage.
+ stage "convert":     raw records -> raw triples, written
+                      partitionBy(bucket) with dynamic partition
+                      overwrite; lineage row per bucket.
  stage "materialize": raw triples re-bucketed by triple-hash (so global
                       dedup is bucket-local => exactly-once semantics),
                       dropDuplicates within bucket, written
@@ -23,6 +32,7 @@ from ..sources.extract import extract_and_parse
 from .lineage import LineageLog
 from .pipeline import TRIPLE_COLS, load_mapping
 
+EXTRACT_STAGE = "extract"
 RAW_STAGE = "convert"
 FINAL_STAGE = "materialize"
 
@@ -50,26 +60,60 @@ def run_resumable(
     mapping: Mapping | str = "skeleton",
     library: Library | None = None,
     n_buckets: int = 32,
+    extract_id: str | None = None,
 ) -> DataFrame:
-    """Execute (or resume) the convert+materialize stages; returns the
-    final deduplicated triples DF."""
+    """Execute (or resume) the extract+convert+materialize stages;
+    returns the final deduplicated triples DF.
+
+    ``extract_id`` keys the raw-records staging zone (defaults to
+    run_id).  To replay a mapping change without re-extraction, pass a
+    NEW run_id with the ORIGINAL run's extract_id — the staged records
+    parquet is reused and only convert+materialize re-run."""
     if isinstance(mapping, str):
         mapping = load_mapping(mapping)
     library = library or Library()
+    extract_id = extract_id or run_id
     lineage = LineageLog(spark, f"{out_dir}/_lineage")
+    records_path = f"{out_dir}/raw_records"
     raw_path = f"{out_dir}/raw_triples"
     final_path = f"{out_dir}/triples"
 
+    # ---- stage 0: extract (raw pre-conversion staging zone, S5) --------
+    done0 = lineage.done_buckets(extract_id, EXTRACT_STAGE)
+    pages_b = _with_bucket(pages, ["url"], n_buckets)
+    todo0 = pages_b.filter(
+        ~F.col("bucket").isin(list(done0)) if done0 else F.lit(True)
+    )
+    if todo0.limit(1).count() > 0:
+        records = extract_and_parse(todo0.drop("bucket"))
+        records_b = _with_bucket(records, ["url"], n_buckets)
+        records_b = records_b.localCheckpoint(eager=True)
+        _overwrite_partitions(records_b, records_path)
+        counts0 = (
+            records_b.groupBy("bucket")
+            .agg(
+                F.countDistinct("url").alias("input_rows"),
+                F.count("*").alias("output_triples"),
+            )
+            .select(
+                F.col("bucket").alias("partition_id"),
+                "input_rows",
+                "output_triples",
+            )
+        )
+        lineage.append(extract_id, EXTRACT_STAGE, counts0)
+
     # ---- stage 1: convert (bucketed by url hash) -----------------------
     done = lineage.done_buckets(run_id, RAW_STAGE)
-    pages_b = _with_bucket(pages, ["url"], n_buckets)
-    todo = pages_b.filter(~F.col("bucket").isin(list(done)) if done else F.lit(True))
+    raw_records = spark.read.parquet(records_path)
+    todo = raw_records.filter(
+        ~F.col("bucket").isin(list(done)) if done else F.lit(True)
+    )
     if todo.limit(1).count() > 0:
-        records = extract_and_parse(todo.drop("bucket"))
         # cache_records: the hybrid plan's two branches would otherwise
-        # run the Arrow extract stage twice inside this checkpoint job
+        # re-read the staged records twice inside this checkpoint job
         triples = MappingCompiler(mapping, library).convert(
-            records, cache_records=True
+            todo.drop("bucket"), cache_records=True
         )
         triples_b = _with_bucket(triples, ["url"], n_buckets).select(
             *TRIPLE_COLS, "url", "bucket"

@@ -120,6 +120,29 @@ def gen_page(i: int, stale: bool = False) -> dict:
     }
 
 
+def gen_tombstone_page(i: int) -> dict:
+    """A later crawl of page i's url carrying an OAI-style
+    deleted-record envelope instead of the record (the reference's
+    `header status="deleted"` path, scheduler.rb:379-383) — drives the
+    U6 tombstone purge."""
+    rec_id = str(7000000 + i)
+    ts = BASE_TS + dt.timedelta(days=2, seconds=i)
+    text = (
+        f"<!-- oai deleted-record response for {rec_id} -->\n"
+        "<OAI-PMH><ListRecords><record>"
+        f'<header status="deleted"><identifier>oai:example:{rec_id}'
+        f"</identifier><datestamp>{ts.isoformat()}</datestamp></header>"
+        "</record></ListRecords></OAI-PMH>"
+    )
+    return {
+        "url": URL_FMT.format(lib=1, rec_id=rec_id),
+        "warc_ts": ts,
+        "html": ("<html><body><pre>" + text + "</pre></body></html>").encode(),
+        "text": text,
+        "lang": "und",
+    }
+
+
 def gen_pages(start: int, end: int) -> Iterator[dict]:
     """All rows for page indices [start, end): fresh rows plus stale
     duplicates every DUP_EVERY-th index."""

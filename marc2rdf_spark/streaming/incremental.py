@@ -44,6 +44,31 @@ def window_batch(
     return out
 
 
+# OAI deleted-record header (scheduler.rb:379-383); the identifier's
+# last colon-segment is the record id the reference purges by
+TOMBSTONE_RE = r'<header\s+status="deleted">\s*<identifier>([^<]+)</identifier>'
+
+
+def parse_tombstones(pages: DataFrame, library: Library | None = None) -> DataFrame:
+    """S4 envelope slice: extract deleted-record subjects from OAI-style
+    deleted headers embedded in page text.  Pure Column regex (no UDF);
+    the id maps to a subject URI exactly like G1 minting."""
+    lib = library or Library()
+    ids = pages.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(TOMBSTONE_RE), F.lit(1))
+        ).alias("oai_id")
+    )
+    rec_id = F.regexp_extract(F.col("oai_id"), r"([^:]+)$", 1)
+    return ids.select(
+        F.concat(F.lit(lib.base + lib.prefix), rec_id).alias("subj")
+    ).distinct()
+
+
+def is_tombstone_page(text_col) -> "F.Column":
+    return text_col.rlike(TOMBSTONE_RE)
+
+
 def run_available_now(
     spark: SparkSession,
     pages_path: str,
@@ -70,8 +95,15 @@ def run_available_now(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        triples = convert_pages(batch_df, mapping, library, dedup=True)
-        triples.select(*TRIPLE_COLS).write.mode("append").parquet(out_path)
+        tomb = F.col("text").rlike(TOMBSTONE_RE)
+        live = batch_df.filter(~tomb)
+        if not live.isEmpty():
+            triples = convert_pages(live, mapping, library, dedup=True)
+            triples.select(*TRIPLE_COLS).write.mode("append").parquet(out_path)
+        tombs = parse_tombstones(batch_df.filter(tomb), library)
+        if not tombs.isEmpty():
+            # merge-on-read deletion markers (resolved by read_converted)
+            tombs.write.mode("append").parquet(out_path + "_tombstones")
 
     (
         stream.writeStream.foreachBatch(process_batch)
@@ -88,3 +120,17 @@ def apply_tombstones(store: DataFrame, tombstones: DataFrame) -> DataFrame:
     from ..operators.store import purge_record
 
     return purge_record(store, tombstones)
+
+
+def read_converted(spark: SparkSession, out_path: str) -> DataFrame:
+    """Merge-on-read view of the incrementally converted store: the
+    appended triples minus tombstoned subjects (incl. inbound edges) —
+    the lakehouse equivalent of the reference's immediate SPARQL DELETE
+    (in Iceberg production this is a MERGE ... WHEN MATCHED THEN
+    DELETE)."""
+    triples = spark.read.parquet(out_path)
+    try:
+        tombs = spark.read.parquet(out_path + "_tombstones")
+    except Exception:  # no tombstones staged yet
+        return triples
+    return apply_tombstones(triples, tombs)

@@ -54,6 +54,8 @@ def test_resume_after_partial_materialize(spark, tmp_path):
     assert resumed == full
 
     # exactly-once: no duplicated triples in the final table
+    # (see also test_mapping_replay_reuses_raw_records for the raw
+    # staging-zone replay path)
     final = spark.read.parquet(f"{out}/triples")
     total = final.count()
     distinct = final.select("subj", "pred", "obj", "lang", "dtype").distinct().count()
@@ -88,3 +90,41 @@ def test_resume_skips_converted_buckets(spark, tmp_path):
 
     resumed = _tripleset(_run(spark, out))
     assert resumed == full
+
+
+def test_mapping_replay_reuses_raw_records(spark, tmp_path):
+    """S5 raw staging zone: a mapping change replays conversion from the
+    staged records parquet WITHOUT re-running the Arrow extract stage
+    (reference analogue: scheduler.rb:477-485 replay of db/converted
+    XML dumps)."""
+    from marc2rdf_spark.plans.materialize import EXTRACT_STAGE
+    from marc2rdf_spark.plans.pipeline import synth_and_convert
+    from marc2rdf_spark.schema import WEB_PAGES_SCHEMA
+
+    out = str(tmp_path / "kg3")
+    _run(spark, out)  # run r1 with the dummy mapping
+    lineage = LineageLog(spark, f"{out}/_lineage")
+    # empty url-hash buckets get no lineage row (counts are data-derived)
+    n_extract = lineage.read().filter(F.col("stage") == EXTRACT_STAGE).count()
+    assert n_extract >= 1
+
+    # replay with the skeleton mapping under a NEW run_id, reusing r1's
+    # raw zone; the EMPTY pages DF proves extraction cannot have re-run
+    empty = spark.createDataFrame([], WEB_PAGES_SCHEMA)
+    replayed = _tripleset(
+        run_resumable(
+            spark, empty, out, run_id="r2", mapping="skeleton",
+            n_buckets=N_BUCKETS, extract_id="r1",
+        )
+    )
+    expected = _tripleset(
+        synth_and_convert(spark, N_PAGES, "skeleton").select(
+            "subj", "pred", "obj", "obj_is_uri", "lang", "dtype"
+        )
+    )
+    assert replayed == expected
+    # no new extract lineage rows were appended by the replay
+    assert (
+        lineage.read().filter(F.col("stage") == EXTRACT_STAGE).count()
+        == n_extract
+    )

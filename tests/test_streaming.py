@@ -54,6 +54,39 @@ def test_available_now_incremental(spark, tmp_path):
     }
 
 
+def test_available_now_tombstones(spark, tmp_path):
+    """A later batch delivering OAI deleted-record envelopes must purge
+    those subjects (incl. inbound edges) from the merge-on-read view,
+    without reprocessing old files (U6 through the availableNow path)."""
+    from marc2rdf_spark.schema import WEB_PAGES_SCHEMA
+    from marc2rdf_spark.sources.synth import gen_tombstone_page
+    from marc2rdf_spark.streaming.incremental import read_converted
+
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_pages(spark, pages, 0, 6)
+    run_available_now(spark, pages, out, ckpt, mapping="dummy")
+    before = read_converted(spark, out)
+    doomed = "http://example.com/id_7000002"
+    assert before.filter(F.col("subj") == doomed).count() > 0
+
+    # batch 2: one deleted-record envelope for record 2
+    spark.createDataFrame(
+        [gen_tombstone_page(2)], WEB_PAGES_SCHEMA
+    ).write.mode("append").parquet(pages)
+    run_available_now(spark, pages, out, ckpt, mapping="dummy")
+
+    after = read_converted(spark, out)
+    assert after.filter(F.col("subj") == doomed).count() == 0
+    assert after.filter(F.col("obj") == doomed).count() == 0
+    # other subjects survive
+    assert after.filter(
+        F.col("subj") == "http://example.com/id_7000003"
+    ).count() > 0
+
+
 def test_window_batch_prunes(spark):
     import datetime as dt
 
