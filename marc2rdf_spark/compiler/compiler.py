@@ -388,6 +388,11 @@ class MappingCompiler:
         # first-subfield semantics via map_from_entries(reverse(...)):
         # with LAST_WIN dedup the reversed array's last entry — the
         # original FIRST occurrence — wins (ruby-marc field[code]).
+        # SESSION-WIDE DEPENDENCY: the policy must still be LAST_WIN
+        # when the plan's actions run; get_spark() sets it as a session
+        # default and this re-set guards sessions built elsewhere.
+        # Resetting it to EXCEPTION mid-session breaks convert()'s P3
+        # semantics (documented per ADVICE r1).
         spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         kept = [c for c in keep if c in records.columns]
         record = F.col(record_col)

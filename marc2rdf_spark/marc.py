@@ -256,6 +256,19 @@ def record_to_iso2709(rec: Record, encoding: str = "utf-8") -> bytes:
                     + sf.value.encode(encoding)
                 )
             data += FIELD_TERMINATOR
+        # ISO 2709 hard limits: the %04d/%05d directory slots cannot
+        # represent larger values — emitting them would silently shift
+        # every subsequent offset (ADVICE r1)
+        if len(data) > 9999:
+            raise ValueError(
+                f"ISO 2709 field {f.tag} is {len(data)} bytes; "
+                "directory length slot is 4 digits (max 9999)"
+            )
+        if len(body) > 99999:
+            raise ValueError(
+                f"ISO 2709 field offset {len(body)} exceeds the 5-digit "
+                "directory slot (max 99999)"
+            )
         directory += (
             f.tag.encode(encoding)[:3].ljust(3, b" ")
             + f"{len(data):04d}".encode()
@@ -264,6 +277,11 @@ def record_to_iso2709(rec: Record, encoding: str = "utf-8") -> bytes:
         body += data
     base = 24 + len(directory) + 1
     total = base + len(body) + 1
+    if total > 99999:
+        raise ValueError(
+            f"ISO 2709 record is {total} bytes; leader length slot is 5 "
+            "digits (max 99999)"
+        )
     leader = (rec.leader or " " * 24).ljust(24)[:24]
     leader = f"{total:05d}" + leader[5:12] + f"{base:05d}" + leader[17:]
     return (

@@ -67,6 +67,13 @@ def solutions_query(
         F.col("subj").alias("edition"), F.col("obj").alias("object")
     )
     sol = typed.join(objs, "edition")
+    # DOCUMENTED DEVIATION (ADVICE r1): SPARQL MINUS compatibility
+    # semantics (batch_harvest.rb:114,122) only removes a solution when
+    # the MINUS pattern shares the bound ?object variable — usually a
+    # no-op for harvested predicates whose objects differ from the ISBN.
+    # This left_anti on edition alone implements the INTENDED
+    # already-harvested filter (skip editions that already carry the
+    # harvested predicate), which is stricter than literal MINUS.
     for m in minuses:
         has_m = triples.filter(F.col("pred") == m).select(
             F.col("subj").alias("edition")

@@ -71,6 +71,10 @@ def manifestations(triples: DataFrame) -> DataFrame:
         _first(BIBO_ISSN).alias("issn"),
     ).filter(F.col("rec_id").isNotNull() & F.col("title").isNotNull())
 
+    # the reference's creator patterns form ONE SPARQL optional group
+    # (marcmodeler.rb:24-27): dc:creator, catalogueName AND dc:identifier
+    # bind all-or-nothing — a creator lacking either property leaves
+    # creatorURI itself unbound and emits no 100 field
     creators = (
         triples.filter(F.col("pred").isin(RADATANA_NAME, DC_IDENTIFIER))
         .groupBy("subj")
@@ -78,11 +82,18 @@ def manifestations(triples: DataFrame) -> DataFrame:
             _first(RADATANA_NAME).alias("creator_name"),
             _first(DC_IDENTIFIER).alias("creator_id"),
         )
-        .filter(F.col("creator_name").isNotNull())
+        .filter(
+            F.col("creator_name").isNotNull() & F.col("creator_id").isNotNull()
+        )
         .withColumnRenamed("subj", "creator_uri")
     )
-    return base.join(creators, "creator_uri", "left").select(
-        *MANIFESTATION_COLS
+    return (
+        base.join(creators, "creator_uri", "left")
+        .withColumn(
+            "creator_uri",
+            F.when(F.col("creator_name").isNotNull(), F.col("creator_uri")),
+        )
+        .select(*MANIFESTATION_COLS)
     )
 
 

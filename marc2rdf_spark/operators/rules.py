@@ -78,14 +78,20 @@ def localize(
         script,
     )
     if vocab is not None:
-        # PREFIX.term vocabulary refs (e.g. BIBO.Document) -> full URIs
-        def _expand(m: re.Match) -> str:
-            try:
-                return f"'{vocab.expand(m.group(0))}'"
-            except KeyError:
-                return m.group(0)
-
-        script = re.sub(r"\b[A-Z][A-Z0-9]*\.[A-Za-z_][\w]*", _expand, script)
+        # PREFIX.term vocabulary refs (e.g. BIBO.Document) -> full URIs.
+        # Anchored on the REGISTERED prefixes only (ADVICE r1): a bare
+        # uppercase-dotted pattern would also rewrite SQL alias
+        # references like T.subj whenever the alias collides with a
+        # vocab prefix, silently changing the query.
+        prefixes = sorted(vocab.prefixes(), key=len, reverse=True)
+        if prefixes:
+            pat = (
+                r"\b(?:" + "|".join(re.escape(p) for p in prefixes)
+                + r")\.[A-Za-z_][\w]*"
+            )
+            script = re.sub(
+                pat, lambda m: f"'{vocab.expand(m.group(0))}'", script
+            )
     return replace(rule, script=script)
 
 

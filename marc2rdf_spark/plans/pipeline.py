@@ -30,11 +30,14 @@ def convert_pages(
     library: Library | None = None,
     dedup: bool = True,
     cache_records: bool = False,
+    urls_colocated: bool = False,
 ) -> DataFrame:
-    """web_pages DF -> deduplicated triples DF."""
+    """web_pages DF -> deduplicated triples DF.  ``urls_colocated``
+    enables the shuffle-free in-partition LWW extract for url-bucketed
+    input layouts (see extract_and_parse)."""
     if isinstance(mapping, str):
         mapping = load_mapping(mapping)
-    records = extract_and_parse(pages)
+    records = extract_and_parse(pages, urls_colocated=urls_colocated)
     triples = MappingCompiler(mapping, library or Library()).convert(
         records, cache_records=cache_records
     )

@@ -35,6 +35,12 @@ def get_spark(
         # uses null-safe F.get everywhere, but keep ANSI's strict-cast off
         # for string->numeric observability metrics.
         .config("spark.sql.ansi.enabled", "false")
+        # First-subfield semantics (P3) depend on LAST_WIN dedup in
+        # map_from_entries(reverse(subfields)) — a session-wide default
+        # here so the compiler's own re-set (compiler.py convert()) is
+        # belt-and-braces rather than a hidden mutation of someone
+        # else's session
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # Throughput GC: for this allocation-heavy batch workload
         # ParallelGC measured consistently faster and thread-stable than

@@ -35,10 +35,52 @@ def latest_pages(pages: DataFrame) -> DataFrame:
     )
 
 
-def extract_and_parse(pages: DataFrame, dedup_urls: bool = True) -> DataFrame:
+def extract_and_parse(
+    pages: DataFrame,
+    dedup_urls: bool = True,
+    urls_colocated: bool = False,
+) -> DataFrame:
     """web_pages -> (url, record_xml, record) rows, one per embedded
-    MARC record."""
+    MARC record.
+
+    ``urls_colocated=True`` declares that all rows of a url live in the
+    same scan partition — the Iceberg ``bucket(N, url)`` production
+    layout.  Then last-write-wins runs INSIDE the Arrow pass
+    (per-partition hash map, memory bounded by the partition's pages)
+    and the stage has ZERO wide dependencies: at cluster scale this
+    removes the corpus-sized url shuffle entirely.  The default keeps
+    the general groupBy(url) path for arbitrarily-laid-out input."""
     import pandas as pd
+
+    if urls_colocated and dedup_urls:
+
+        def worker_lww(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            best: dict = {}  # url -> (warc_ts, len, text)
+            for pdf in batches:
+                for url, ts, text in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["text"]
+                ):
+                    if text is None:
+                        continue
+                    key = (ts, len(text))
+                    cur = best.get(url)
+                    if cur is None or key > cur[0]:
+                        best[url] = (key, text)
+            urls, xmls, recs = [], [], []
+            for url, (_, text) in best.items():
+                for snippet in find_record_strings(text):
+                    urls.append(url)
+                    xmls.append(snippet)
+                    recs.append(record_to_dict(parse_record_xml(snippet)))
+            yield pd.DataFrame(
+                {"url": urls, "record_xml": xmls, "record": recs}
+            )
+
+        return pages.select("url", "warc_ts", "text").mapInPandas(
+            worker_lww, schema=RECORDS_SCHEMA
+        )
 
     src = latest_pages(pages) if dedup_urls else pages.select("url", "text")
 

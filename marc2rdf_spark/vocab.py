@@ -47,6 +47,10 @@ class Vocabulary:
             entries = json.load(f)
         return cls({e["prefix"]: e["uri"] for e in entries})
 
+    def prefixes(self) -> list[str]:
+        """Registered (upper-case) prefixes."""
+        return list(self._ns)
+
     def namespace(self, prefix: str) -> str:
         try:
             return self._ns[prefix.upper()]

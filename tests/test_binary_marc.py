@@ -74,3 +74,33 @@ def test_read_binary_marc_to_triples(spark, tmp_path):
         for t in convert_records(recs, load_dummy_mapping(), Library())
     }
     assert spark_triples == oracle_triples
+
+
+def test_iso2709_overflow_raises():
+    """ISO 2709 directory slots are fixed-width; oversized fields must
+    raise instead of silently corrupting offsets (ADVICE r1)."""
+    import pytest
+
+    from marc2rdf_spark.marc import (
+        DataField,
+        Record,
+        Subfield,
+        record_to_iso2709,
+    )
+
+    big = Record(
+        leader=" " * 24,
+        fields=[DataField("245", " ", " ", [Subfield("a", "x" * 10000)])],
+    )
+    with pytest.raises(ValueError, match="4 digits"):
+        record_to_iso2709(big)
+
+    many = Record(
+        leader=" " * 24,
+        fields=[
+            DataField("650", " ", " ", [Subfield("a", "y" * 9000)])
+            for _ in range(12)
+        ],
+    )
+    with pytest.raises(ValueError, match="5-digit|5 digits"):
+        record_to_iso2709(many)

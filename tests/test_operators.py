@@ -418,3 +418,33 @@ def test_real_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         _decode_image(b"x")
+
+
+def test_multi_key_subfield_conditions_rejected_loudly():
+    """VERDICT r1 #10: a user mapping with multi-key subfield conditions
+    gets a compile error naming the rule, not an assertion crash."""
+    import pytest as _pytest
+
+    from marc2rdf_spark.compiler.specs import (
+        MappingCompileError,
+        flatten_mapping,
+    )
+    from marc2rdf_spark.config import Library, load_dummy_mapping
+    from marc2rdf_spark.vocab import default_vocabulary
+
+    mapping = load_dummy_mapping()
+    mapping.tags["015"] = {
+        "subfield": {
+            "a": {
+                "object": {"datatype": "literal"},
+                "conditions": {
+                    "subfield": {
+                        "b": {"orig": "x", "subs": {"x": "DC.title"}},
+                        "c": {"orig": "y", "subs": {"y": "DC.title"}},
+                    }
+                },
+            }
+        }
+    }
+    with _pytest.raises(MappingCompileError, match=r"tags\['015'\]\$a"):
+        flatten_mapping(mapping, Library(), default_vocabulary())

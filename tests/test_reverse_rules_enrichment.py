@@ -221,3 +221,22 @@ def test_embedding_near_dups_exact_vs_lsh(spark):
         emb, threshold=0.9, dim=4, n_planes=4, n_tables=8
     ).collect()
     assert [(r["a_id"], r["b_id"]) for r in approx] == [(0, 1)]
+
+
+def test_localize_does_not_rewrite_sql_aliases():
+    """ADVICE r1: vocabulary expansion is anchored on registered
+    prefixes — an uppercase SQL alias like T.subj must survive."""
+    from marc2rdf_spark.operators.rules import Rule, localize
+    from marc2rdf_spark.vocab import default_vocabulary
+
+    rule = Rule(
+        id="x", name="x",
+        script=(
+            "SELECT T.subj FROM DEFAULT_GRAPH T "
+            "WHERE T.obj = 'BIBO.Document' AND T.pred = RDF.type"
+        ),
+    )
+    out = localize(rule, vocab=default_vocabulary()).script
+    assert "T.subj" in out and "T.obj" in out and "T.pred" in out
+    # known-prefix refs DO expand
+    assert "'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'" in out
