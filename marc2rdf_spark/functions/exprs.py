@@ -188,3 +188,53 @@ def nt_line(
     return F.concat(
         F.lit("<"), subj, F.lit("> <"), pred, F.lit("> "), obj_part, F.lit(" .")
     )
+
+
+# ---------------------------------------------------------------------------
+# RDF/XML rendering (the reference CLI's second serialization:
+# RDF::Writer by file extension, marc2rdf.rb:14,56 — the reference
+# itself calls .rdf "slooow"; ours is columnar concat, JVM-side).
+# ---------------------------------------------------------------------------
+
+def xml_escape(c: Column) -> Column:
+    out = F.regexp_replace(c, "&", "&amp;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    out = F.regexp_replace(out, ">", "&gt;")
+    return F.regexp_replace(out, '"', "&quot;")
+
+
+def rdfxml_property(
+    pred: Column, obj: Column, obj_is_uri: Column,
+    lang: Column, dtype: Column,
+) -> Column:
+    """One RDF/XML property element with an inline namespace
+    declaration (split at the trailing XML-name local part)."""
+    from ..vocab import XSD_NS
+
+    local = F.regexp_extract(pred, r"([A-Za-z_][A-Za-z0-9_.\-]*)$", 1)
+    ns = F.substring(pred, F.lit(1), F.length(pred) - F.length(local))
+    head = F.concat(
+        F.lit("<n0:"), local, F.lit(' xmlns:n0="'), xml_escape(ns), F.lit('"')
+    )
+    close = F.concat(F.lit("</n0:"), local, F.lit(">"))
+    return (
+        F.when(
+            obj_is_uri,
+            F.concat(head, F.lit(' rdf:resource="'), xml_escape(obj),
+                     F.lit('"/>')),
+        )
+        .when(
+            dtype.isNotNull(),
+            F.concat(
+                head, F.lit(' rdf:datatype="'), F.lit(XSD_NS),
+                F.regexp_replace(dtype, "^xsd:", ""), F.lit('">'),
+                xml_escape(obj), close,
+            ),
+        )
+        .when(
+            lang.isNotNull(),
+            F.concat(head, F.lit(' xml:lang="'), lang, F.lit('">'),
+                     xml_escape(obj), close),
+        )
+        .otherwise(F.concat(head, F.lit(">"), xml_escape(obj), close))
+    )

@@ -367,25 +367,32 @@ def embedding_near_dups_lsh(
         _hyperplanes(dim, n_planes, seed=1337 + t) for t in range(n_tables)
     ]
     vec = F.col(vec_col).cast("array<double>")
+    # bucket on ids only; vectors re-attach AFTER the pair dedup so the
+    # (interpreted-HOF) cosine runs once per UNIQUE pair, not once per
+    # (pair x shared table) — and the distinct never hashes vectors
     bucketed = embeddings.select(
-        F.col(id_col).alias("id"), vec.alias("vec"),
+        F.col(id_col).alias("id"),
         F.posexplode(
             F.array(*[lsh_bucket(vec, planes) for planes in tables])
         ).alias("table", "bucket"),
     )
-    left = bucketed.select(
-        "table", "bucket", F.col("id").alias("a_id"),
-        F.col("vec").alias("a_vec"),
-    )
-    right = bucketed.select(
-        "table", "bucket", F.col("id").alias("b_id"),
-        F.col("vec").alias("b_vec"),
-    )
-    cand = (
-        left.join(right, ["table", "bucket"])
+    pairs = (
+        bucketed.select("table", "bucket", F.col("id").alias("a_id"))
+        .join(
+            bucketed.select("table", "bucket", F.col("id").alias("b_id")),
+            ["table", "bucket"],
+        )
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "a_vec", "b_id", "b_vec")
+        .select("a_id", "b_id")
         .distinct()
+    )
+    vecs = embeddings.select(F.col(id_col).alias("id"), vec.alias("v"))
+    cand = pairs.join(
+        vecs.select(F.col("id").alias("a_id"), F.col("v").alias("a_vec")),
+        "a_id",
+    ).join(
+        vecs.select(F.col("id").alias("b_id"), F.col("v").alias("b_vec")),
+        "b_id",
     )
     return (
         cand.select(

@@ -114,18 +114,29 @@ def lsh_topk(
         vec = F.col(vec_col).cast("array<double>")
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
-            vec.alias(f"{prefix}_vec"),
             F.posexplode(
                 F.array(*[lsh_bucket(vec, planes) for planes in tables])
             ).alias("table", "bucket"),
         )
 
-    cand = (
+    # candidate ids first, vectors re-attached after the dedup: cosine
+    # runs once per unique (q, n) pair instead of per shared table
+    pairs = (
         bucketed(embeddings, "n")
         .join(F.broadcast(bucketed(queries, "q")), ["table", "bucket"])
         .filter(F.col("n_id") != F.col("q_id"))
-        .select("q_id", "q_vec", "n_id", "n_vec")
+        .select("q_id", "n_id")
         .distinct()
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    cand = pairs.join(
+        F.broadcast(
+            queries.select(F.col(id_col).alias("q_id"), vec.alias("q_vec"))
+        ),
+        "q_id",
+    ).join(
+        embeddings.select(F.col(id_col).alias("n_id"), vec.alias("n_vec")),
+        "n_id",
     )
     scored = cand.select(
         "q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim")

@@ -88,6 +88,57 @@ def full_pipeline(
     return canonicalize_triples(triples, comps).dropDuplicates(TRIPLE_COLS)
 
 
+def to_rdfxml(triples: DataFrame) -> DataFrame:
+    """Second serialization (marc2rdf.rb:14,56 RDF::Writer-by-extension
+    path): one rdf:Description block per subject, property elements
+    rendered columnar with inline namespace declarations, properties
+    lexically sorted for determinism.  Returns (subj, xml)."""
+    from ..functions.exprs import is_uri, rdfxml_property, xml_escape
+
+    valid = triples.filter(is_uri(F.col("subj")))
+    props = valid.select(
+        "subj",
+        rdfxml_property(
+            F.col("pred"), F.col("obj"), F.col("obj_is_uri"),
+            F.col("lang"), F.col("dtype"),
+        ).alias("prop"),
+    )
+    return props.groupBy("subj").agg(
+        F.concat(
+            F.lit('<rdf:Description rdf:about="'),
+            xml_escape(F.col("subj")),
+            F.lit('">'),
+            F.array_join(F.sort_array(F.collect_list("prop")), ""),
+            F.lit("</rdf:Description>"),
+        ).alias("xml")
+    )
+
+
+def rdfxml_document(triples: DataFrame) -> DataFrame:
+    """Full document lines (header + sorted blocks + footer) — write
+    with coalesce(1).text for a single .rdf file, or keep distributed
+    as line shards."""
+    spark = triples.sparkSession
+    header = spark.createDataFrame(
+        [
+            (0, '<?xml version="1.0" encoding="UTF-8"?>'),
+            (
+                1,
+                '<rdf:RDF xmlns:rdf='
+                '"http://www.w3.org/1999/02/22-rdf-syntax-ns#">',
+            ),
+        ],
+        ["ord", "line"],
+    )
+    blocks = to_rdfxml(triples).select(
+        F.lit(2).alias("ord"), F.col("xml").alias("line")
+    )
+    footer = spark.createDataFrame([(3, "</rdf:RDF>")], ["ord", "line"])
+    return header.unionByName(blocks).unionByName(footer).orderBy(
+        "ord", "line"
+    ).select("line")
+
+
 def to_ntriples(triples: DataFrame) -> DataFrame:
     """Materialize stage: render canonical N-Triples lines (G7).
     Statements whose subject is not a valid URI are the reference's

@@ -68,6 +68,10 @@ def extract_and_parse(
                     cur = best.get(url)
                     if cur is None or key > cur[0]:
                         best[url] = (key, text)
+            if not best:
+                return  # empty scan partition: yield no batch (an
+                # empty pandas frame would carry float64 dtypes that
+                # Arrow cannot cast to the record struct)
             urls, xmls, recs = [], [], []
             for url, (_, text) in best.items():
                 for snippet in find_record_strings(text):

@@ -55,6 +55,24 @@ def test_extraction_byte_identity(spark, records_df):
     assert records_df.count() == N_PAGES  # stale duplicates dropped
 
 
+def test_extraction_colocated_lww_parity(spark):
+    """urls_colocated=True (in-partition LWW for url-bucketed layouts)
+    must produce exactly the shuffle path's records when urls ARE
+    co-located."""
+    pages = synth_web_pages(spark, 30, partitions=3).repartition(4, "url")
+    shuffle_path = {
+        (r.url, r.record_xml)
+        for r in extract_and_parse(pages).select("url", "record_xml").collect()
+    }
+    colocated = {
+        (r.url, r.record_xml)
+        for r in extract_and_parse(pages, urls_colocated=True)
+        .select("url", "record_xml")
+        .collect()
+    }
+    assert colocated == shuffle_path and len(colocated) == 30
+
+
 def test_last_write_wins(spark):
     """Stale duplicate crawls (earlier warc_ts) must lose."""
     pages = synth_web_pages(spark, 11, partitions=2)
