@@ -13,6 +13,12 @@ from pyspark.sql import functions as F
 
 WS_SPLIT = r"\s+"
 
+# GPT-2-style pre-tokenizer pattern, restricted to the Java∩RE2 common
+# dialect (both engines use PCRE alternation preference): contractions,
+# letter runs, digit runs, symbol runs; inter-token whitespace is simply
+# skipped by extract_all
+BPE_TOKEN_RE = r"'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
 
 def token_count(text: Column) -> Column:
     """Whitespace token count; 0 for empty/blank."""
@@ -20,10 +26,17 @@ def token_count(text: Column) -> Column:
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, WS_SPLIT)))
 
 
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer
+    regex — the standard cheap estimate of LLM token cost."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
 def doc_tokens(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_tokens_bpe"),
         F.length("text").alias("len_chars"),
     )
 
@@ -105,4 +118,40 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), WS_SPLIT, " ")
     return docs.select(
         "doc_id", F.md5(norm).alias("fp"), F.length(norm).alias("norm_len")
+    )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03): rolling char k-gram hashes, minimum per sliding window
+    of w, distinct — the local-fingerprint scheme used for plagiarism /
+    near-dup detection over partial overlaps.  Pure Column expressions;
+    the k-gram hash is md5-derived (60-bit) so the SQL oracle can
+    replicate values exactly.  Returns (doc_id, fp) exploded rows."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), WS_SPLIT, " ")
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    )
+    grams = F.transform(idx, lambda i: F.substring(norm, i, k))
+    # per-gram rows: the k-gram hash runs ONCE per gram in codegen.
+    # (Computing the hash array as a nested expression would re-inline
+    # it into every window lambda below — Catalyst has no CSE across
+    # higher-order-function lambdas, turning winnowing quadratic.)
+    g = docs.select("doc_id", F.posexplode(grams).alias("pos", "g"))
+    h = g.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    arr = h.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "h"))),
+            lambda s: s["h"],
+        ).alias("hh")
+    )
+    hh = F.col("hh")
+    widx = F.sequence(F.lit(1), F.greatest(F.size(hh) - (w - 1), F.lit(1)))
+    mins = F.transform(widx, lambda j: F.array_min(F.slice(hh, j, w)))
+    return arr.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
     )

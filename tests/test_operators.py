@@ -448,3 +448,38 @@ def test_multi_key_subfield_conditions_rejected_loudly():
     }
     with _pytest.raises(MappingCompileError, match=r"tags\['015'\]\$a"):
         flatten_mapping(mapping, Library(), default_vocabulary())
+
+
+def test_bpe_token_count(spark):
+    from marc2rdf_spark.operators.textstats import doc_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "it's 42 degrees, really!"), (2, ""), (3, "   ")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: (r.n_tokens, r.n_tokens_bpe) for r in doc_tokens(docs).collect()}
+    # it | 's | ' 42' | ' degrees' | ',' | ' really' | '!'  -> 7
+    assert rows[1] == (4, 7)
+    assert rows[2] == (0, 0)
+    assert rows[3] == (0, 0)
+
+
+def test_winnow_fingerprints_shared_substring(spark):
+    """Winnowing guarantee: documents sharing a long substring share
+    fingerprints; disjoint documents (different alphabets) share none."""
+    from marc2rdf_spark.operators.textstats import winnow_fingerprints
+
+    common = "the winnowing algorithm selects minimum hashes per window"
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix one " + common),
+            (2, common + " suffix two"),
+            (3, "0123456789 9876543210 1029384756"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {}
+    for r in winnow_fingerprints(docs).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2]          # overlap detected
+    assert not (fps[1] & fps[3])    # disjoint content
