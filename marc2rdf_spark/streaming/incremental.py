@@ -128,9 +128,11 @@ def read_converted(spark: SparkSession, out_path: str) -> DataFrame:
     the lakehouse equivalent of the reference's immediate SPARQL DELETE
     (in Iceberg production this is a MERGE ... WHEN MATCHED THEN
     DELETE)."""
+    from pyspark.errors import AnalysisException
+
     triples = spark.read.parquet(out_path)
     try:
         tombs = spark.read.parquet(out_path + "_tombstones")
-    except Exception:  # no tombstones staged yet
+    except AnalysisException:  # no tombstones staged yet
         return triples
     return apply_tombstones(triples, tombs)
