@@ -90,24 +90,35 @@ def connected_components(
 
     e = _orient(raw).localCheckpoint(eager=True)
     prev = None
+    converged = False
     for _ in range(max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # Order-insensitive, overflow-free edge-set checksum: bit_xor of
+        # 64-bit hashes never overflows, unlike sum(xxhash64) which
+        # raises ARITHMETIC_OVERFLOW under ANSI mode (default-on in
+        # Spark 4.x) after a handful of rows.
         row = e.agg(
             F.count("*").alias("n"),
-            F.sum(F.xxhash64("u", "v")).alias("chk"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("chk"),
         ).collect()[0]
         state = (row.n, row.chk)
         if state == prev:
+            converged = True
             break
         prev = state
 
     # fixpoint edges are stars (node -> component min); roots and
     # isolated nodes label themselves
-    labels = nodes.join(
-        e.select(F.col("u").alias("uri"), F.col("v").alias("root")),
-        "uri",
-        "left",
-    ).select("uri", F.coalesce("root", "uri").alias("component"))
+    star = e.select(F.col("u").alias("uri"), F.col("v").alias("root"))
+    if not converged:
+        # Iteration budget exhausted before fixpoint: the edge set may
+        # not be a clean star yet, so a node can carry several candidate
+        # roots.  Collapse to the minimum so the contract (one label per
+        # uri) still holds.
+        star = star.groupBy("uri").agg(F.min("root").alias("root"))
+    labels = nodes.join(star, "uri", "left").select(
+        "uri", F.coalesce("root", "uri").alias("component")
+    )
     return labels
 
 

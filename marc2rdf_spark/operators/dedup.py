@@ -31,9 +31,15 @@ def normalized_text(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
-def exact_duplicates(docs: DataFrame) -> DataFrame:
+def exact_duplicates(docs: DataFrame, sample_ids: int = 20) -> DataFrame:
     """Exact dedup via content digest: one partial-aggregated shuffle.
-    Returns (fp, keep_id, n_docs, doc_ids) for groups with > 1 doc."""
+    Returns (fp, keep_id, n_docs, doc_ids) for groups with > 1 doc.
+
+    ``doc_ids`` is a bounded SAMPLE (the ``sample_ids`` smallest ids),
+    not the full group: on a boilerplate-heavy corpus a single hot
+    fingerprint can hold 10^7+ ids, and an unbounded collect_list puts
+    them all in one aggregation buffer.  For the complete drop-list use
+    ``duplicate_drop_list`` (a join-back, never an array)."""
     withfp = docs.select(
         "doc_id", F.md5(normalized_text(F.col("text"))).alias("fp")
     )
@@ -42,9 +48,36 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
         .agg(
             F.min("doc_id").alias("keep_id"),
             F.count("*").alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, sample_ids
+            ).alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def duplicate_drop_list(docs: DataFrame) -> DataFrame:
+    """(doc_id, keep_id, fp) for every document that should be DROPPED
+    by exact dedup (i.e. every group member except its keeper).
+
+    Scale path for the drop-list: re-joins the per-doc fingerprints
+    against the winning (fp, keep_id) groups instead of materializing
+    per-group id arrays — both sides hash-partition on ``fp``, so the
+    join reuses the aggregate's shuffle and no aggregation buffer ever
+    holds a whole duplicate group."""
+    withfp = docs.select(
+        "doc_id", F.md5(normalized_text(F.col("text"))).alias("fp")
+    )
+    keepers = (
+        withfp.groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("fp", "keep_id")
+    )
+    return (
+        withfp.join(keepers, "fp")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", "keep_id", "fp")
     )
 
 
@@ -88,7 +121,10 @@ def _content_hash(col: Column, hash_fn: str) -> Column:
     if hash_fn == "md5":
         h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
     elif hash_fn == "xxhash64":
-        h = F.abs(F.xxhash64(col))
+        # pmod, not abs(x) % m: abs(Long.MIN_VALUE) overflows under ANSI
+        # mode (p = 2^-64 per value, but a 100 TB corpus hashes enough
+        # shingles to hit it); pmod is total and non-negative.
+        return F.pmod(F.xxhash64(col), F.lit(_MERSENNE))
     else:  # pragma: no cover
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return h % F.lit(_MERSENNE)
@@ -115,6 +151,29 @@ def minhash_signatures(
     )
 
 
+def _band_key(b: int, rows_per_band: int, hash_fn: str) -> Column:
+    """Bucket key for band ``b`` of a minhash signature column ``sig``.
+    Shared by the dedup join and its cap-metrics observer so both hash
+    the SAME buckets for a given ``hash_fn``."""
+    sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+    if hash_fn == "md5":
+        # SQL-replicable bucket key: md5 of the comma-joined minima
+        return F.md5(F.concat_ws(",", sl.cast("array<string>")))
+    return F.hash(sl).cast("string")
+
+
+def _banded_signatures(
+    sig: DataFrame, bands: int, rows_per_band: int, hash_fn: str
+) -> DataFrame:
+    """(doc_id, band, bucket) — one posexplode over the per-band keys."""
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[_band_key(b, rows_per_band, hash_fn) for b in range(bands)])
+        ).alias("band", "bucket"),
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     num_hashes: int = 64,
@@ -128,23 +187,10 @@ def lsh_candidate_pairs(
 
     ``max_bucket`` caps degenerate hot buckets (boilerplate-heavy
     corpora) to bound the pair explosion — the capped count should be
-    surfaced as a metric at scale (see ``lsh_capped_count``)."""
+    surfaced as a metric at scale (see ``lsh_cap_metrics``)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, hash_fn)
-
-    def band_key(b: int) -> Column:
-        sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-        if hash_fn == "md5":
-            # SQL-replicable bucket key: md5 of the comma-joined minima
-            return F.md5(F.concat_ws(",", sl.cast("array<string>")))
-        return F.hash(sl).cast("string")
-
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[band_key(b) for b in range(bands)])
-        ).alias("band", "bucket"),
-    )
+    banded = _banded_signatures(sig, bands, rows_per_band, hash_fn)
     # cap hot buckets deterministically (keep lowest doc_ids)
     from pyspark.sql.window import Window
 
@@ -178,19 +224,7 @@ def lsh_cap_metrics(
 
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, hash_fn)
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                    ).cast("string")
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = _banded_signatures(sig, bands, rows_per_band, hash_fn)
     w = Window.partitionBy("band", "bucket").orderBy("doc_id")
     row = (
         banded.withColumn("rn", F.row_number().over(w))

@@ -2,7 +2,12 @@
 __spark_entry__ query at sf0.01 side-by-side with its DuckDB oracle and
 compare row count, schema width, and order-insensitive values.
 
-Usage: python tools/check_contract.py [query ...]
+Usage: python tools/check_contract.py [--ansi] [query ...]
+
+``--ansi`` replicates the driver harness's session semantics (vanilla
+Spark 4.x defaults: ANSI on, mapKeyDedupPolicy EXCEPTION) instead of
+the repo's get_spark tuning — run it before shipping, since the driver
+does not apply session.py's confs.
 """
 
 from __future__ import annotations
@@ -46,11 +51,16 @@ def rowset(rows, colnames):
     )
 
 
-def main(only: list[str]) -> int:
+def main(only: list[str], ansi: bool = False) -> int:
     from marc2rdf_spark.session import get_spark
 
     spark = get_spark(cores=8)
     spark.sparkContext.setLogLevel("ERROR")
+    if ansi:
+        # Driver-default SQL semantics (both confs are runtime-settable)
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+        print("== driver-default session semantics (ANSI on) ==")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -110,4 +120,7 @@ def main(only: list[str]) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1:]) else 0)
+    argv = sys.argv[1:]
+    ansi = "--ansi" in argv
+    argv = [a for a in argv if a != "--ansi"]
+    sys.exit(1 if main(argv, ansi=ansi) else 0)
