@@ -194,19 +194,32 @@ class MappingCompiler:
 
     # -- conditions -> predicate (rdfmodeler.rb:200-234) ------------------
     def _predicate(self, field: Column, s, sf_first: Column) -> Column:
-        regs = self.regs
         default = s("cond_default")
 
-        m = F.element_at(sf_first, s("cond_code"))
-        cleaned = F.lower(F.regexp_replace(m, r"[\.\-]+", ""))
-        cand_sub = F.element_at(
-            s("cond1_map"), _last_match_col(cleaned, s("cond1_orig"))
-        )
-        sub_pred = F.when(m.isNull() | (m == ""), default).otherwise(
-            F.when(cand_sub.isNotNull() & (cand_sub != ""), cand_sub).otherwise(
-                default
+        # subfield conditions: fold the ordered key list with the
+        # reference's keep-previous-unless-empty chain
+        # (rdfmodeler.rb:205-216).  Per key: an empty/missing sibling
+        # subfield resets to that key's default; a regex match
+        # overwrites (unmapped/empty-mapped match counts as empty and
+        # falls back to default); no match keeps the accumulated
+        # predicate unless it is empty.  A single-key array reduces to
+        # the familiar match-or-default CASE.
+        def _fold(acc: Column, c: Column) -> Column:
+            m = F.element_at(sf_first, c["code"])
+            cleaned = F.lower(F.regexp_replace(m, r"[\.\-]+", ""))
+            last = _last_match_col(cleaned, c["orig"])
+            cand = F.element_at(c["map"], last)
+            matched = F.when(
+                last.isNotNull(), F.coalesce(cand, F.lit(""))
+            ).otherwise(acc)
+            chained = F.when(
+                matched.isNull() | (matched == ""), c["default"]
+            ).otherwise(matched)
+            return F.when(m.isNull() | (m == ""), c["default"]).otherwise(
+                chained
             )
-        )
+
+        sub_pred = F.aggregate(s("cond_subs"), F.lit(""), _fold)
 
         cand1 = F.element_at(
             s("cond1_map"), _last_match_col(field["ind1"], s("cond1_orig"))

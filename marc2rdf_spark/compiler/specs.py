@@ -45,7 +45,10 @@ SPEC_SCHEMA = """
     spec struct<
         code: string,
         pred: string,
-        cond_kind: string, cond_code: string,
+        cond_kind: string,
+        cond_subs: array<struct<
+            code: string, orig: string,
+            map: map<string,string>, default: string>>,
         cond1_orig: string, cond1_map: map<string,string>,
         cond2_orig: string, cond2_map: map<string,string>,
         cond_default: string,
@@ -121,7 +124,7 @@ class MappingCompileError(ValueError):
 
 def _cond_fields(sub: dict, regs: Registries, expand, where: str = "?") -> dict:
     out = {
-        "cond_kind": None, "cond_code": None,
+        "cond_kind": None, "cond_subs": None,
         "cond1_orig": None, "cond1_map": None,
         "cond2_orig": None, "cond2_map": None,
         "cond_default": None,
@@ -130,27 +133,28 @@ def _cond_fields(sub: dict, regs: Registries, expand, where: str = "?") -> dict:
     if not cond:
         return out
     if "subfield" in cond:
-        items = list(cond["subfield"].items())
-        if len(items) != 1:
-            # The reference folds multiple condition keys with a subtle
-            # keep-previous-unless-empty chain (rdfmodeler.rb:205-216);
-            # neither shipped mapping uses it, so this compiler rejects
-            # it loudly rather than guessing (VERDICT r1 #10 documented
-            # compile error)
-            raise MappingCompileError(
-                f"rule {where}: multi-key subfield conditions "
-                f"({sorted(cond['subfield'])}) are not supported; use one "
-                "condition subfield per rule (the reference's multi-key "
-                "last-wins chain, rdfmodeler.rb:205-216, is deliberately "
-                "unimplemented)"
-            )
-        key, value = items[0]
+        # Condition keys fold IN ORDER with the reference's
+        # keep-previous-unless-empty chain (rdfmodeler.rb:205-216): a
+        # later key's match overwrites, a later key's EMPTY sibling
+        # subfield resets to that key's default, and a later key with no
+        # regex match keeps the earlier result unless it is empty.  The
+        # compiler carries the ordered list as a spec array and folds it
+        # with F.aggregate (compiler._predicate).
         out.update(
             cond_kind="sub",
-            cond_code=key,
-            cond1_orig=regs.check(value["orig"]),
-            cond1_map={k: expand(v) for k, v in value["subs"].items()},
-            cond_default=expand(value["default"]) if value.get("default") else None,
+            cond_subs=[
+                {
+                    "code": key,
+                    "orig": regs.check(value["orig"]),
+                    "map": {k: expand(v) for k, v in value["subs"].items()},
+                    "default": (
+                        expand(value["default"])
+                        if value.get("default")
+                        else None
+                    ),
+                }
+                for key, value in cond["subfield"].items()
+            ],
         )
     elif "indicator" in cond:
         ind = cond["indicator"]
@@ -173,7 +177,7 @@ def _cond_fields(sub: dict, regs: Registries, expand, where: str = "?") -> dict:
 
 _EMPTY_SPEC = {
     "code": None, "pred": None,
-    "cond_kind": None, "cond_code": None,
+    "cond_kind": None, "cond_subs": None,
     "cond1_orig": None, "cond1_map": None,
     "cond2_orig": None, "cond2_map": None,
     "cond_default": None,

@@ -169,6 +169,11 @@ class UnrolledMappingCompiler:
 
         cond = spec["conditions"]
         if "subfield" in cond:
+            # keys fold in order with the reference's keep-previous-
+            # unless-empty chain (rdfmodeler.rb:205-216): empty sibling
+            # subfield -> that key's default; regex match -> overwrite
+            # (unmapped match counts as empty -> default); no match ->
+            # keep accumulated predicate unless empty -> default
             pred: Column = F.lit("")
             for key, value in cond["subfield"].items():
                 subs = {k: self.expand(v) for k, v in value["subs"].items()}
@@ -184,12 +189,14 @@ class UnrolledMappingCompiler:
                     *[F.lit(x) for kv in subs.items() for x in kv]
                 )
                 candidate = subs_map[last]
-                pred = (
-                    F.when(m.isNull() | (m == ""), default)
-                    .when(
-                        candidate.isNotNull() & (candidate != ""), candidate
-                    )
-                    .otherwise(default)
+                matched = F.when(
+                    last.isNotNull(), F.coalesce(candidate, F.lit(""))
+                ).otherwise(pred)
+                chained = F.when(
+                    matched.isNull() | (matched == ""), default
+                ).otherwise(matched)
+                pred = F.when(m.isNull() | (m == ""), default).otherwise(
+                    chained
                 )
             return pred
 

@@ -81,7 +81,19 @@ def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
 
     def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            u32 = [deterministic_fake_decode_u32(p) for p in pdf["payload"]]
+            if real_decode:
+                # Real kernel: feature comes from the decoder; the exact
+                # integer lanes have no decoder counterpart, so emit
+                # null rather than sha256 lanes that would break the
+                # documented invariant feature == feature_u32 / 2^32
+                # (and skip the wasted hashing pass per payload).
+                feature = [decode(p) for p in pdf["payload"]]
+                u32 = [None] * len(feature)
+            else:
+                u32 = [
+                    deterministic_fake_decode_u32(p) for p in pdf["payload"]
+                ]
+                feature = [[u / 2**32 for u in row] for row in u32]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -89,11 +101,7 @@ def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
                     "n_bytes": [
                         len(p) if p is not None else 0 for p in pdf["payload"]
                     ],
-                    "feature": (
-                        [decode(p) for p in pdf["payload"]]
-                        if real_decode
-                        else [[u / 2**32 for u in row] for row in u32]
-                    ),
+                    "feature": feature,
                     "feature_u32": u32,
                 }
             )

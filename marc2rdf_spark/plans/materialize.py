@@ -74,7 +74,11 @@ def run_resumable(
     library = library or Library()
     extract_id = extract_id or run_id
     lineage = LineageLog(spark, f"{out_dir}/_lineage")
-    records_path = f"{out_dir}/raw_records"
+    # staging zone keyed BY PATH per extract_id (not just in lineage):
+    # two runs with different extract_ids in one out_dir must not mix
+    # staged buckets (dynamic partition overwrite would leave the other
+    # run's buckets in place and convert would read the union)
+    records_path = f"{out_dir}/raw_records/{extract_id}"
     raw_path = f"{out_dir}/raw_triples"
     final_path = f"{out_dir}/triples"
 
@@ -105,7 +109,16 @@ def run_resumable(
 
     # ---- stage 1: convert (bucketed by url hash) -----------------------
     done = lineage.done_buckets(run_id, RAW_STAGE)
-    raw_records = spark.read.parquet(records_path)
+    from pyspark.errors import AnalysisException
+
+    try:
+        raw_records = spark.read.parquet(records_path)
+    except AnalysisException as e:  # PATH_NOT_FOUND
+        raise FileNotFoundError(
+            f"no staged records for extract_id={extract_id!r} under "
+            f"{out_dir}/raw_records/ — a replay must reference an "
+            "extract_id whose extract stage ran in this out_dir"
+        ) from e
     todo = raw_records.filter(
         ~F.col("bucket").isin(list(done)) if done else F.lit(True)
     )

@@ -59,6 +59,28 @@ def synth_and_convert(
     )
 
 
+def convert_binary(
+    spark,
+    path: str,
+    mapping: Mapping | str = "skeleton",
+    library: Library | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """Binary ISO 2709 corpus (S1; reference MARC::ForgivingReader CLI
+    path, marc2rdf.rb:50) -> deduplicated triples DF.  Same compiled
+    mapping plan as convert_pages; only the source stage differs
+    (binaryFile scan + forgiving Arrow parse instead of page-text
+    extraction)."""
+    from ..sources.binary_marc import read_binary_marc
+
+    if isinstance(mapping, str):
+        mapping = load_mapping(mapping)
+    records = read_binary_marc(spark, path)
+    triples = MappingCompiler(mapping, library or Library()).convert(records)
+    triples = triples.select(TRIPLE_COLS)
+    return triples.dropDuplicates(TRIPLE_COLS) if dedup else triples
+
+
 def full_pipeline(
     triples: DataFrame,
     authorities: DataFrame,

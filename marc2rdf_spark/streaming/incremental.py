@@ -99,11 +99,21 @@ def run_available_now(
         live = batch_df.filter(~tomb)
         if not live.isEmpty():
             triples = convert_pages(live, mapping, library, dedup=True)
-            triples.select(*TRIPLE_COLS).write.mode("append").parquet(out_path)
+            # batch stamp: tombstones purge only triples appended in the
+            # SAME OR EARLIER batch, so a record deleted in batch N and
+            # legitimately re-delivered (un-deleted) in batch N+1
+            # survives — matching the reference's immediate SPARQL
+            # DELETE ordering (sparql_update.rb: delete happens when the
+            # tombstone arrives, later re-harvests re-insert)
+            triples.select(*TRIPLE_COLS).withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ).write.mode("append").parquet(out_path)
         tombs = parse_tombstones(batch_df.filter(tomb), library)
         if not tombs.isEmpty():
             # merge-on-read deletion markers (resolved by read_converted)
-            tombs.write.mode("append").parquet(out_path + "_tombstones")
+            tombs.withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ).write.mode("append").parquet(out_path + "_tombstones")
 
     (
         stream.writeStream.foreachBatch(process_batch)
@@ -122,12 +132,50 @@ def apply_tombstones(store: DataFrame, tombstones: DataFrame) -> DataFrame:
     return purge_record(store, tombstones)
 
 
+def apply_tombstones_versioned(
+    triples: DataFrame, tombstones: DataFrame
+) -> DataFrame:
+    """Batch-ordered tombstone resolution: a tombstone purges a
+    subject's triples (incl. inbound edges) ONLY when the triple was
+    appended in the same or an earlier batch.  Re-delivered records in
+    later batches survive, matching the reference's delete-then-
+    reinsert semantics (sparql_update.rb executes the DELETE at
+    tombstone arrival; a later harvest re-inserts).
+
+    Two broadcast left joins against the per-subject max tombstone
+    batch — the tombstone set is tiny relative to the store, so no
+    store-sized shuffle."""
+    tomb_max = F.broadcast(
+        tombstones.groupBy("subj").agg(F.max("batch_id").alias("tb"))
+    )
+    out = (
+        triples.join(
+            tomb_max.select(F.col("subj").alias("_ts"), F.col("tb").alias("_stb")),
+            F.col("subj") == F.col("_ts"),
+            "left",
+        )
+        .filter(F.col("_stb").isNull() | (F.col("_stb") < F.col("batch_id")))
+        .drop("_ts", "_stb")
+    )
+    return (
+        out.join(
+            tomb_max.select(F.col("subj").alias("_to"), F.col("tb").alias("_otb")),
+            F.col("obj") == F.col("_to"),
+            "left",
+        )
+        .filter(F.col("_otb").isNull() | (F.col("_otb") < F.col("batch_id")))
+        .drop("_to", "_otb")
+    )
+
+
 def read_converted(spark: SparkSession, out_path: str) -> DataFrame:
     """Merge-on-read view of the incrementally converted store: the
     appended triples minus tombstoned subjects (incl. inbound edges) —
     the lakehouse equivalent of the reference's immediate SPARQL DELETE
     (in Iceberg production this is a MERGE ... WHEN MATCHED THEN
-    DELETE)."""
+    DELETE).  Batch-stamped stores resolve tombstones in batch order
+    (see apply_tombstones_versioned); legacy un-stamped stores fall
+    back to unconditional purge."""
     from pyspark.errors import AnalysisException
 
     triples = spark.read.parquet(out_path)
@@ -135,4 +183,6 @@ def read_converted(spark: SparkSession, out_path: str) -> DataFrame:
         tombs = spark.read.parquet(out_path + "_tombstones")
     except AnalysisException:  # no tombstones staged yet
         return triples
+    if "batch_id" in triples.columns and "batch_id" in tombs.columns:
+        return apply_tombstones_versioned(triples, tombs)
     return apply_tombstones(triples, tombs)

@@ -87,6 +87,38 @@ def test_available_now_tombstones(spark, tmp_path):
     ).count() > 0
 
 
+def test_tombstone_then_redelivery_survives(spark, tmp_path):
+    """ADVICE r2: a record deleted in batch N and re-delivered
+    (un-deleted) in batch N+1 must NOT be suppressed by the stale
+    tombstone — the reference executes the DELETE at tombstone arrival
+    (sparql_update.rb), so a later re-harvest re-inserts there."""
+    from marc2rdf_spark.schema import WEB_PAGES_SCHEMA
+    from marc2rdf_spark.sources.synth import gen_tombstone_page
+    from marc2rdf_spark.streaming.incremental import read_converted
+
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+    doomed = "http://example.com/id_7000002"
+
+    # batch 1: records 0..5
+    _write_pages(spark, pages, 0, 6)
+    run_available_now(spark, pages, out, ckpt, mapping="dummy")
+    # batch 2: tombstone for record 2
+    spark.createDataFrame(
+        [gen_tombstone_page(2)], WEB_PAGES_SCHEMA
+    ).write.mode("append").parquet(pages)
+    run_available_now(spark, pages, out, ckpt, mapping="dummy")
+    assert read_converted(spark, out).filter(
+        F.col("subj") == doomed
+    ).count() == 0
+    # batch 3: record 2 re-delivered (OAI status flipped back)
+    _write_pages(spark, pages, 2, 3)
+    run_available_now(spark, pages, out, ckpt, mapping="dummy")
+    revived = read_converted(spark, out)
+    assert revived.filter(F.col("subj") == doomed).count() > 0
+
+
 def test_window_batch_prunes(spark):
     import datetime as dt
 

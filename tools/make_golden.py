@@ -113,6 +113,30 @@ def write_authorities() -> int:
     return len(auth_rows)
 
 
+def write_binary_corpus(shards: int = 8) -> int:
+    """Deterministic ISO 2709 corpus (fixtures/golden/binary_mrc/): the
+    SAME records the golden triples were generated from, serialized to
+    binary MARC and sharded into several .mrc files (the reference's
+    MARC::ForgivingReader CLI input shape, marc2rdf.rb:50).  Because the
+    record set is identical, converting this corpus with the skeleton
+    mapping must reproduce triples_skeleton.parquet exactly — which is
+    what gives the binary reader (S1) a value-level contract oracle."""
+    from marc2rdf_spark.marc import record_to_iso2709
+
+    records = expected_records(N_GOLDEN_PAGES)
+    out_dir = os.path.join(GOLDEN_DIR, "binary_mrc")
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        os.unlink(os.path.join(out_dir, f))
+    for s in range(shards):
+        blob = b"".join(
+            record_to_iso2709(rec) for rec in records[s::shards]
+        )
+        with open(os.path.join(out_dir, f"shard-{s:02d}.mrc"), "wb") as fh:
+            fh.write(blob)
+    return len(records)
+
+
 if __name__ == "__main__":
     n1 = write_golden("triples_dummy", load_dummy_mapping())
     print(f"triples_dummy.parquet: {n1} triples from {N_GOLDEN_PAGES} pages")
@@ -122,3 +146,5 @@ if __name__ == "__main__":
     print(f"sameas_edges.parquet: {n3} edges")
     n4 = write_authorities()
     print(f"authorities.parquet: {n4} authorities")
+    n5 = write_binary_corpus()
+    print(f"binary_mrc/: {n5} ISO 2709 records")
