@@ -74,9 +74,15 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """edges(left_uri, right_uri) -> (uri, component) with component =
-    min uri (lexicographic) of the component."""
+    min uri (lexicographic) of the component.
+
+    Pass a dict as ``stats`` to receive {"rounds": k, "final_edges": n,
+    "converged": bool} — the observable evidence for the O(log n)
+    round bound (each round is fixed-cost-dominated at toy scale, so
+    wall-clock alone hides the asymptotics)."""
     raw = edges.select(
         F.col("left_uri").alias("src"), F.col("right_uri").alias("dst")
     ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -91,7 +97,9 @@ def connected_components(
     e = _orient(raw).localCheckpoint(eager=True)
     prev = None
     converged = False
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # Order-insensitive, overflow-free edge-set checksum: bit_xor of
         # 64-bit hashes never overflows, unlike sum(xxhash64) which
@@ -106,6 +114,13 @@ def connected_components(
             converged = True
             break
         prev = state
+
+    if stats is not None:
+        stats.update(
+            rounds=rounds,
+            final_edges=prev[0] if prev else 0,
+            converged=converged,
+        )
 
     # fixpoint edges are stars (node -> component min); roots and
     # isolated nodes label themselves

@@ -389,13 +389,14 @@ def embedding_near_dups_lsh(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """Scale path: candidate pairs share a random-hyperplane bucket in
     any of ``n_tables`` tables (equi-join on (table, bucket) — a
     bucket-partitioned shuffle instead of the all-pairs join), then
     exact cosine re-check.  Recall is tunable via tables x planes; the
     exact re-check keeps precision at 1.0."""
-    from .similarity import _hyperplanes, cosine, lsh_bucket
+    from .similarity import _hyperplanes, cosine, lsh_bucket_table
 
     tables = [
         _hyperplanes(dim, n_planes, seed=1337 + t) for t in range(n_tables)
@@ -404,11 +405,8 @@ def embedding_near_dups_lsh(
     # bucket on ids only; vectors re-attach AFTER the pair dedup so the
     # (interpreted-HOF) cosine runs once per UNIQUE pair, not once per
     # (pair x shared table) — and the distinct never hashes vectors
-    bucketed = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.array(*[lsh_bucket(vec, planes) for planes in tables])
-        ).alias("table", "bucket"),
+    bucketed = lsh_bucket_table(
+        embeddings, tables, id_col, vec_col, vectorized=vectorized
     )
     pairs = (
         bucketed.select("table", "bucket", F.col("id").alias("a_id"))

@@ -131,6 +131,30 @@ def run_rules_engine(
 # (config/templates/rules.json dummy_globalrule: "SPARQL SELECT * WHERE
 # {?s a bibo:Document ; dct:title ?title}") re-expressed over the
 # triple view.
+# A LOCAL rule exercising the full localize() surface (rule.rb:80-93):
+# DEFAULT_GRAPH -> view, DEFAULT_PREFIX.term -> library-base URI
+# literal, registered vocab refs (DC.creator / RDF.type /
+# BIBO.Document) -> full URIs — while the uppercase table alias ``T``
+# (NOT a registered prefix) must survive unrewritten (ADVICE r1:
+# prefix-anchored substitution, rules.py localize).
+EXAMPLE_LOCAL_RULE = Rule(
+    id="dummy_localrule",
+    name="Example Local Rule",
+    type="local",
+    tag="localtest",
+    script=(
+        "SELECT T.subj AS doc, T.obj AS creator "
+        "FROM DEFAULT_GRAPH T "
+        "WHERE T.pred = DC.creator "
+        "AND T.subj <> DEFAULT_PREFIX.id_7000000 "
+        "AND EXISTS ("
+        "  SELECT 1 FROM DEFAULT_GRAPH ty "
+        "  WHERE ty.subj = T.subj "
+        "  AND ty.pred = RDF.type "
+        "  AND ty.obj = BIBO.Document)"
+    ),
+)
+
 EXAMPLE_GLOBAL_RULE = Rule(
     id="dummy_globalrule",
     name="Example Global Rule",

