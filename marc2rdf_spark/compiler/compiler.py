@@ -318,17 +318,21 @@ class MappingCompiler:
         return per_object
 
     # -- record-level helpers ---------------------------------------------
-    def subject_expr(self, record: Column) -> Column:
-        ident = F.get(
+    def identifier_expr(self, record: Column) -> Column:
+        """record[identifier_tag].value (rdfmodeler.rb:14) — NULL when
+        the control field is absent."""
+        return F.get(
             F.filter(
                 record["controlfields"],
                 lambda f: f["tag"] == F.lit(self.library.identifier_tag),
             ),
             0,
         )["value"]
+
+    def subject_expr(self, record: Column) -> Column:
         return F.concat(
             F.lit(self.library.base + self.library.prefix),
-            F.coalesce(ident, F.lit("")),
+            F.coalesce(self.identifier_expr(record), F.lit("")),
         )
 
     def _fields_array(self, record: Column) -> Column:
@@ -421,7 +425,15 @@ class MappingCompiler:
                 )
             )
         )
-        fields = records.select(
+        # records without the identifier control field cannot mint a
+        # subject URI — the reference cannot even construct an
+        # RDFModeler for them (rdfmodeler.rb:14-15, nil.value raises).
+        # Field-less OAI deleted-header envelopes parse to exactly this
+        # shape; the tombstone path handles them, conversion skips them.
+        ident = self.identifier_expr(record)
+        fields = records.filter(
+            ident.isNotNull() & (ident != "")
+        ).select(
             *kept,
             self.subject_expr(record).alias("subj"),
             F.explode(self._fields_array(record)).alias("field"),

@@ -450,6 +450,16 @@ class UnrolledMappingCompiler:
         materialize, SURVEY.md §2.4)."""
         arr = self.triples_array_expr(F.col(record_col))
         kept = [F.col(c) for c in keep if c in records.columns]
-        return records.select(
+        # identifier guard (parity with MappingCompiler.convert):
+        # records lacking the identifier control field mint no subject
+        # and emit nothing (rdfmodeler.rb:14-15 cannot construct one)
+        ident = F.get(
+            F.filter(
+                F.col(record_col)["controlfields"],
+                lambda f: f["tag"] == F.lit(self.library.identifier_tag),
+            ),
+            0,
+        )["value"]
+        return records.filter(ident.isNotNull() & (ident != "")).select(
             *kept, F.explode(arr).alias("t")
         ).select(*kept, "t.*")

@@ -87,8 +87,14 @@ class Record:
 # MARCXML / marcxchange parsing (namespace-agnostic)
 # ---------------------------------------------------------------------------
 
+# The close tag must carry the SAME namespace prefix as the open tag
+# (backreference): an OAI envelope nests <marcxchange:record> inside a
+# plain <record>, and a prefix-agnostic close would end the outer match
+# at the inner </marcxchange:record>, splitting the envelope into
+# malformed fragments (reference shape: spec/example.oairesponse.xml,
+# oaiclient.rb:28-44 ListRecords responses).
 _RECORD_RE = re.compile(
-    r"<(?:[A-Za-z_][\w.\-]*:)?record[\s>].*?</(?:[A-Za-z_][\w.\-]*:)?record\s*>",
+    r"<((?:[A-Za-z_][\w.\-]*:)?)record[\s>].*?</\1record\s*>",
     re.DOTALL,
 )
 
@@ -98,9 +104,11 @@ def find_record_strings(text: str) -> list[str]:
 
     This is the extraction contract of BASELINE.json input_hint: the
     returned strings are exact substrings of ``text`` (no re-serialization),
-    so extraction is byte-identical per url.
+    so extraction is byte-identical per url.  OAI ListRecords envelopes
+    yield one (balanced) outer <record> per harvested record — header
+    plus metadata — which parse_record_xml descends into.
     """
-    return _RECORD_RE.findall(text)
+    return [m.group(0) for m in _RECORD_RE.finditer(text)]
 
 
 def _localname(tag: str) -> str:
@@ -121,6 +129,21 @@ def parse_record_xml(xml: str) -> Record:
     )
     root = ET.fromstring(wrapped)
     rec_el = next(iter(root))
+    # OAI-PMH envelope: <record><header .../><metadata><mx:record>
+    # MARC fields</mx:record></metadata></record> — the MARC record is
+    # response.first.metadata in the reference (oaiclient.rb:62-66,
+    # oaiclient_spec.rb:16).  Descend to the innermost record element;
+    # a deleted-header envelope has no metadata and parses to an empty
+    # Record (the harvest path tombstones it instead of converting,
+    # scheduler.rb:379-383).
+    if not any(
+        _localname(el.tag) in ("leader", "controlfield", "datafield")
+        for el in rec_el
+    ):
+        for el in rec_el.iter():
+            if el is not rec_el and _localname(el.tag) == "record":
+                rec_el = el
+                break
     rec = Record()
     for el in rec_el:
         name = _localname(el.tag)

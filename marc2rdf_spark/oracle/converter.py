@@ -151,6 +151,11 @@ class OracleConverter:
     def convert(self, record: Record, set_types: bool = True) -> list[Triple]:
         stmts: list[Triple] = []
         rec_id = record.first_value(self.library.identifier_tag) or ""
+        # identifier guard (rdfmodeler.rb:14-15: nil.value raises, so an
+        # identifier-less record never constructs an RDFModeler) — e.g.
+        # a field-less OAI deleted-header envelope
+        if not rec_id:
+            return []
         subj = self.library.mint_subject(rec_id)
 
         def assert_(p_ref: str | None, obj, is_uri, lang=None, dtype=None):

@@ -37,7 +37,12 @@ def convert_pages(
     input layouts (see extract_and_parse)."""
     if isinstance(mapping, str):
         mapping = load_mapping(mapping)
-    records = extract_and_parse(pages, urls_colocated=urls_colocated)
+    # include_xml=False: straight conversion never reads the exact
+    # snippet (that's the staging zone's concern), so don't pay the
+    # Arrow round-trip for a full copy of every record's text
+    records = extract_and_parse(
+        pages, urls_colocated=urls_colocated, include_xml=False
+    )
     triples = MappingCompiler(mapping, library or Library()).convert(
         records, cache_records=cache_records
     )

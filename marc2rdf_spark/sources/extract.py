@@ -39,6 +39,7 @@ def extract_and_parse(
     pages: DataFrame,
     dedup_urls: bool = True,
     urls_colocated: bool = False,
+    include_xml: bool = True,
 ) -> DataFrame:
     """web_pages -> (url, record_xml, record) rows, one per embedded
     MARC record.
@@ -49,7 +50,15 @@ def extract_and_parse(
     (per-partition hash map, memory bounded by the partition's pages)
     and the stage has ZERO wide dependencies: at cluster scale this
     removes the corpus-sized url shuffle entirely.  The default keeps
-    the general groupBy(url) path for arbitrarily-laid-out input."""
+    the general groupBy(url) path for arbitrarily-laid-out input.
+
+    ``include_xml=False`` nulls the ``record_xml`` column (schema
+    unchanged).  Only the raw staging zone (S5) and byte-identity
+    checks consume the exact snippet; a straight conversion reads just
+    the parsed struct, and column pruning cannot reach inside
+    mapInPandas — without this flag every page's full record text is
+    serialized to Arrow, copied into the JVM, and then discarded,
+    roughly doubling the extract stage's memory traffic."""
     import pandas as pd
 
     if urls_colocated and dedup_urls:
@@ -76,7 +85,7 @@ def extract_and_parse(
             for url, (_, text) in best.items():
                 for snippet in find_record_strings(text):
                     urls.append(url)
-                    xmls.append(snippet)
+                    xmls.append(snippet if include_xml else None)
                     recs.append(record_to_dict(parse_record_xml(snippet)))
             yield pd.DataFrame(
                 {"url": urls, "record_xml": xmls, "record": recs}
@@ -96,7 +105,8 @@ def extract_and_parse(
                     continue
                 for snippet in find_record_strings(text):
                     urls.append(url)
-                    xmls.append(snippet)  # exact substring: byte-identical
+                    # exact substring: byte-identical (unless pruned)
+                    xmls.append(snippet if include_xml else None)
                     recs.append(record_to_dict(parse_record_xml(snippet)))
             yield pd.DataFrame(
                 {"url": urls, "record_xml": xmls, "record": recs}

@@ -143,6 +143,43 @@ def gen_tombstone_page(i: int) -> dict:
     }
 
 
+def gen_oai_mixed_page(live_i: int, dead_i: int) -> dict:
+    """One OAI ListRecords response page carrying BOTH a live record
+    envelope (header + metadata, like spec/example.oairesponse.xml) and
+    a deleted-record envelope — the real harvest shape: the reference
+    walks the records of one response individually (scheduler.rb:
+    376-383), converting live ones and deleting tombstoned ones."""
+    live_rec = variant_record(live_i)
+    live_id, dead_id = str(7000000 + live_i), str(7000000 + dead_i)
+    ts = BASE_TS + dt.timedelta(days=2, seconds=live_i)
+    # namespace-prefix the metadata record like a real marcxchange OAI
+    # response (spec/example.oairesponse.xml): the envelope's own
+    # <record> is unprefixed, the nested MARC record is prefixed —
+    # that asymmetry is what delimits the outer envelope
+    inner = (
+        record_to_xml(live_rec)
+        .replace("<record", "<marc:record")
+        .replace("</record>", "</marc:record>")
+    )
+    text = (
+        "<OAI-PMH><ListRecords>"
+        f"<record><header><identifier>oai:example:{live_id}</identifier>"
+        f"<datestamp>{ts.isoformat()}</datestamp></header>"
+        f"<metadata>{inner}</metadata></record>"
+        f'<record><header status="deleted"><identifier>oai:example:'
+        f"{dead_id}</identifier><datestamp>{ts.isoformat()}</datestamp>"
+        "</header></record>"
+        "</ListRecords></OAI-PMH>"
+    )
+    return {
+        "url": URL_FMT.format(lib=1, rec_id=live_id),
+        "warc_ts": ts,
+        "html": ("<html><body><pre>" + text + "</pre></body></html>").encode(),
+        "text": text,
+        "lang": "und",
+    }
+
+
 def gen_pages(start: int, end: int) -> Iterator[dict]:
     """All rows for page indices [start, end): fresh rows plus stale
     duplicates every DUP_EVERY-th index."""

@@ -69,6 +69,55 @@ def is_tombstone_page(text_col) -> "F.Column":
     return text_col.rlike(TOMBSTONE_RE)
 
 
+# One OAI ListRecords <record> envelope (header + optional metadata);
+# the backreferenced close tag keeps nested <mx:record> metadata inside
+# the outer match (same contract as marc._RECORD_RE).
+_OAI_RECORD_BLOCK_RE = r"(?s)<((?:[A-Za-z_][\w.\-]*:)?)record[\s>].*?</\1record\s*>"
+_RESUMPTION_RE = r"<resumptionToken[^>]*>([^<]*)</resumptionToken>"
+
+
+def parse_oai_envelope(
+    pages: DataFrame, library: Library | None = None
+) -> DataFrame:
+    """OAI ListRecords envelope -> one row per harvested record:
+    (url, oai_id, rec_id, deleted, subj, resumption_token).
+
+    Re-expresses the reference's OAIResponse surface (oaiclient.rb:58-75,
+    oaiclient_spec.rb:29-44: record count, per-record header identifier,
+    deleted status, resumption token) as pure Column regex over page
+    text — no UDF, so the scan stays in whole-stage codegen and the
+    explode is the only row-multiplying step.  ``rec_id`` is the
+    identifier's last colon-segment (header.identifier.split(':').last);
+    ``subj`` is the G1-minted subject URI the tombstone/purge path keys
+    on.  The resumption token is per-PAGE (the response header), carried
+    onto each record row for the harvest loop's next-window bookkeeping
+    (scheduler.rb:336-344)."""
+    lib = library or Library()
+    blocks = pages.select(
+        "url",
+        F.regexp_extract(F.col("text"), _RESUMPTION_RE, 1).alias(
+            "resumption_token"
+        ),
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(_OAI_RECORD_BLOCK_RE), F.lit(0)
+            )
+        ).alias("block"),
+    )
+    oai_id = F.regexp_extract(
+        F.col("block"), r"<identifier>([^<]+)</identifier>", 1
+    )
+    rec_id = F.regexp_extract(oai_id, r"([^:]+)$", 1)
+    return blocks.select(
+        "url",
+        oai_id.alias("oai_id"),
+        rec_id.alias("rec_id"),
+        F.col("block").rlike(r'<header\s+status="deleted"').alias("deleted"),
+        F.concat(F.lit(lib.base + lib.prefix), rec_id).alias("subj"),
+        "resumption_token",
+    )
+
+
 def run_available_now(
     spark: SparkSession,
     pages_path: str,
@@ -96,7 +145,15 @@ def run_available_now(
         if batch_df.isEmpty():
             return
         tomb = F.col("text").rlike(TOMBSTONE_RE)
-        live = batch_df.filter(~tomb)
+        # A single OAI ListRecords response carries live AND deleted
+        # records (scheduler.rb:376-383 walks them one by one), so
+        # conversion sees every page: deleted-header envelopes parse to
+        # field-less records and emit no triples, while live records on
+        # the same page convert normally.  Pages that are pure
+        # tombstone envelopes are skipped as a scan-level fast path.
+        live = batch_df.filter(
+            ~tomb | F.col("text").rlike(r"(?s)<(?:\w+:)?metadata[\s>]")
+        )
         if not live.isEmpty():
             triples = convert_pages(live, mapping, library, dedup=True)
             # batch stamp: tombstones purge only triples appended in the

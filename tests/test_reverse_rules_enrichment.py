@@ -95,6 +95,70 @@ def test_compose_marc_serial_field_order(triples):
         == [("a", "Bare tittel")]
 
 
+def test_marcmodeler_spec_manifestation_golden(spark):
+    """Reference-authored end-to-end golden for the reverse converter:
+    triples are derived from the reference's OWN SPARQL-response fixture
+    (spec/example.sparqlresponse_manifestation.json — the binding-to-
+    pattern mapping is the SELECT at marcmodeler.rb:18-37), and every
+    assertion value is copied verbatim from marcmodeler_spec.rb:50-76
+    ("MARC record should have ..." cases).  Neither input nor expected
+    output originates in this repo."""
+    import json
+
+    from marc2rdf_spark.operators.reverse import (
+        BIBO_ISBN,
+        DC_CREATOR,
+        DC_IDENTIFIER,
+        DC_TITLE,
+        RADATANA_NAME,
+        RDA_RESPONSIBLE,
+        compose_marc,
+        manifestations,
+    )
+
+    with open(
+        "/root/reference/spec/example.sparqlresponse_manifestation.json",
+        encoding="utf-8",
+    ) as f:
+        b = {
+            k: v["value"]
+            for k, v in json.load(f)["results"]["bindings"][0].items()
+        }
+    # the spec's queried subject (marcmodeler_spec.rb:20)
+    subj = "http://data.deichman.no/resource/tnr_583095"
+    rows = [
+        (subj, DC_IDENTIFIER, b["id"], False, None, None),
+        (subj, DC_TITLE, b["title"], False, None, None),
+        (subj, RDA_RESPONSIBLE, b["responsible"], False, None, None),
+        (subj, DC_CREATOR, b["creatorURI"], True, None, None),
+        (subj, BIBO_ISBN, b["isbn"], False, None, None),
+        (b["creatorURI"], RADATANA_NAME, b["creatorName"], False, None, None),
+        (b["creatorURI"], DC_IDENTIFIER, b["creatorID"], False, None, None),
+    ]
+    triples = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    recs = compose_marc(manifestations(triples)).collect()
+    assert len(recs) == 1
+    r = recs[0]["record"]
+    fields = {f["tag"]: f for f in r["datafields"]}
+
+    def sf(tag, code):
+        return next(
+            s["value"] for s in fields[tag]["subfields"] if s["code"] == code
+        )
+
+    # marcmodeler_spec.rb expectations, verbatim
+    assert r["controlfields"][0]["value"] == "583095"   # :50-52
+    assert sf("020", "a") == "8210047981"               # :58-60
+    assert sf("100", "a") == "Bache-Wiig, Anna"         # :62-64
+    assert sf("100", "3") == "32026400"                 # :66-68
+    assert sf("245", "a") == "Det aller fineste"        # :70-72
+    assert sf("245", "c") == "Anna Bache-Wiig"          # :74-76
+    # "returns nil for a non-existing resource" (:30-36): the empty
+    # SPARQL response fixture => zero manifestation rows
+    empty = spark.createDataFrame([], TRIPLE_SCHEMA)
+    assert manifestations(empty).count() == 0
+
+
 def test_to_marcxml_escapes(spark, triples):
     from marc2rdf_spark.operators.reverse import rdf_to_marc
 

@@ -119,6 +119,37 @@ def test_tombstone_then_redelivery_survives(spark, tmp_path):
     assert revived.filter(F.col("subj") == doomed).count() > 0
 
 
+def test_mixed_oai_page_converts_live_and_purges_dead(spark, tmp_path):
+    """A single OAI ListRecords page with a live envelope AND a deleted
+    envelope (the real harvest shape) must convert the live record and
+    purge the tombstoned one in the same batch — the page-level
+    tombstone filter must not swallow the live record."""
+    from marc2rdf_spark.schema import WEB_PAGES_SCHEMA
+    from marc2rdf_spark.sources.synth import gen_oai_mixed_page
+    from marc2rdf_spark.streaming.incremental import read_converted
+
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: records 0..5 live
+    _write_pages(spark, pages, 0, 6)
+    run_available_now(spark, pages, out, ckpt, mapping="dummy")
+    # batch 2: ONE page re-delivering record 8 (new) and deleting 2
+    spark.createDataFrame(
+        [gen_oai_mixed_page(8, 2)], WEB_PAGES_SCHEMA
+    ).write.mode("append").parquet(pages)
+    run_available_now(spark, pages, out, ckpt, mapping="dummy")
+
+    after = read_converted(spark, out)
+    assert after.filter(
+        F.col("subj") == "http://example.com/id_7000008"
+    ).count() > 0
+    assert after.filter(
+        F.col("subj") == "http://example.com/id_7000002"
+    ).count() == 0
+
+
 def test_window_batch_prunes(spark):
     import datetime as dt
 
