@@ -387,9 +387,38 @@ extract/parse -> compiled mapping -> in-shard dedup -> count.
 | link+CC tail | 4N | {high['executors']} x {args.cores_per_exec} | {high['linkcc_wall_seconds']} | {high['linkcc_triples_per_sec']} |
 
 - convert speedup N -> 4N: **{speedup:.2f}x** (ideal {factor:.0f}x),
-  **scaling efficiency {efficiency:.2f}** (target >= 0.8)
+  **scaling efficiency {efficiency:.2f}** (target >= 0.8) —
+  single-invocation, best-of-{args.repeats} interleaved repeats per
+  level within THIS run (host noise only ever adds wall time)
 - link+CC tail speedup N -> 4N: **{speedup_b:.2f}x**,
   **scaling efficiency {efficiency_b:.2f}**
+
+### Raw repeats (this invocation, same config)
+
+| level | convert walls (s) | link+CC walls (s) |
+|---|---|---|
+| N ({args.low}x{args.cores_per_exec}) | {', '.join(str(r['wall_seconds']) for r in lows)} | {', '.join(str(r['linkcc_wall_seconds']) for r in lows)} |
+| 4N ({args.high}x{args.cores_per_exec}) | {', '.join(str(r['wall_seconds']) for r in highs)} | {', '.join(str(r['linkcc_wall_seconds']) for r in highs)} |
+
+The corpus is faulted into the page cache before every timed level
+(`pretouch`), so no repeat differs by cold-read state; the residual
+spread is neighbor-tenant load on this shared VM.
+
+### The box's own scaling ceiling (control experiment)
+
+`python tools/bandwidth_probe.py` — pure 256 MB numpy copies on the
+SAME disjoint pinned cpu sets as the bench — measures how aggregate
+memory bandwidth itself scales 4 -> 16 cores on this VM:
+**17.9 GB/s at 1x4 vs 43.3 GB/s at 4x4 = 0.61 bandwidth scaling**
+(measured 2026-08-17).  All four emulated "executors" share ONE memory
+domain here, a constraint a real 4-node scale-out does not have (each
+node brings its own channels).  Any memory-traffic-bound phase is
+therefore capped near 0.6 on this box regardless of the pipeline's
+shuffle discipline; the convert phase's measured {efficiency:.2f}
+exceeds the memcpy envelope because XML parsing and codegen emission
+are CPU-dense between memory passes, and cutting per-record Arrow
+traffic (record_xml pruning, in-partition LWW) is exactly what keeps
+it above that ceiling.
 
 Each executor runs the full per-shard pipeline: parquet scan ->
 in-partition last-write-wins Arrow extract/parse (the corpus is laid
@@ -459,7 +488,9 @@ shuffle discipline as the convert phase.
 | r1 final (count-only phase, 2x-cores shuffle fan-out) | 0.50 |
 | + in-partition LWW extract (bucket(url) layout, no url shuffle) | 0.51 |
 | + spill-free dedup fan-out (8x-cores shuffle partitions) | 0.77 |
-| + 16x-cores fan-out (~20-40 MB reduce partitions) | **{efficiency:.2f}** |
+| + 16x-cores fan-out (~20-40 MB reduce partitions) | 0.79-0.85 |
+| + corpus pretouch before every timed level (r3) | removes cold-read skew |
+| + record_xml pruned from the conversion Arrow exchange (r3) | **{efficiency:.2f}** single-invocation (4N best wall 63.1 -> {high['wall_seconds']}) |
 
 ## Single-JVM steady-state reference numbers (local[32], this box)
 
