@@ -57,10 +57,14 @@ def synth_and_convert(
     partitions: int | None = None,
     dedup: bool = True,
     cache_records: bool = False,
+    urls_colocated: bool = False,
 ) -> DataFrame:
+    # urls_colocated is valid for the synthetic corpus: gen_pages emits
+    # a url's fresh and stale crawls in the same mapInPandas batch, so
+    # every url's rows share a partition (the bucket(url) layout shape)
     return convert_pages(
         synth_web_pages(spark, n_pages, partitions), mapping, dedup=dedup,
-        cache_records=cache_records,
+        cache_records=cache_records, urls_colocated=urls_colocated,
     )
 
 
