@@ -84,11 +84,21 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane signature: one bit per plane (sign of dot).
 
+    Planes of length d bucket on the d-dim PREFIX of the vector — the
+    vector is sliced to the plane length before the dot so a plane
+    shorter than the vector projects onto the leading subspace instead
+    of NULL-poisoning the dot (zip_with pads the shorter side with
+    NULL, which would collapse every signature to bucket 0 and
+    silently degrade LSH to brute force).  Plane dim > vector dim is
+    a caller error (the padded tail still yields NULL dots).
+
     Literal-unrolled form: builds dim x n_planes literal expression
     nodes, fine at toy dims but a driver-analysis blowup at production
     embedding dims (768-4096) x 8 tables — use lsh_bucket_table /
     the vectorized path below past _VECTORIZE_NODE_BUDGET."""
     sig = F.lit(0).cast("long")
+    if planes:
+        vec = F.slice(vec, 1, len(planes[0]))
     for i, p in enumerate(planes):
         d = dot(vec, F.array(*[F.lit(x) for x in p]))
         sig = sig.bitwiseOR(
@@ -150,6 +160,12 @@ def lsh_bucket_table(
         if len(v) == 0:
             return pd.Series([], dtype=object)
         m = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        if m.shape[1] < dim:
+            raise ValueError(
+                f"vector dim {m.shape[1]} < plane dim {dim}"
+            )
+        # prefix-slice parity with the unrolled form's F.slice
+        m = m[:, :dim]
         proj = m @ flat  # (batch, T*P) — one BLAS call per Arrow batch
         bits = (proj > 0).reshape(len(m), n_tables, n_planes)
         sigs = (bits * weights).sum(axis=2, dtype=np.int64)
@@ -165,7 +181,7 @@ def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    dim: int = 16,
+    dim: int = 64,
     n_planes: int = 8,
     n_tables: int = 4,
     id_col: str = "vec_id",
@@ -175,7 +191,10 @@ def lsh_topk(
     """Approximate top-k: candidates share an LSH bucket in any of
     ``n_tables`` hyperplane tables (equi-join on (table, bucket)), then
     exact cosine re-rank.  At corpus scale this replaces the cross join
-    with a bucket-partitioned shuffle join."""
+    with a bucket-partitioned shuffle join.
+
+    ``dim`` must be <= the embedding dimensionality; if smaller, the
+    signature projects the dim-length prefix (see lsh_bucket)."""
     tables = [
         _hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)
     ]

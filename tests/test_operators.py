@@ -412,27 +412,104 @@ def test_blocking_recall_is_total(spark):
     assert blocked == exact and blocked
 
 
-def test_ann_lsh_matches_brute_force(spark):
-    """Pins the ann_lsh_topk oracle assumption: LSH candidates cover the
-    true top-5 at the driver's correctness scale (sf0.01)."""
+def test_ann_lsh_matches_numpy_replication(spark):
+    """Pins the ann_lsh_topk contract honestly: the Spark LSH output
+    must equal an independent numpy replication of the same algorithm
+    (same fixed-seed planes, sign-of-dot signatures, (table, bucket)
+    candidate join, exact cosine re-rank) — AND the bucketing must be
+    genuinely non-degenerate with a real candidate reduction vs the
+    cross join.  (The old form asserted LSH == brute force, which only
+    held because dim-16 planes on dim-64 vectors NULL-padded every dot
+    and collapsed all signatures into a single bucket.)"""
     import os
+
+    import numpy as np
 
     sf_dir = "/root/testdata/sf0.01"
     if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
         pytest.skip("driver testdata not present")
-    from marc2rdf_spark.operators.similarity import brute_force_topk, lsh_topk
+    from marc2rdf_spark.operators.similarity import _hyperplanes, lsh_topk
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries = emb.filter(F.col("vec_id") < 3)
     lsh = {
         (r.q_id, r.n_id, r.rank)
-        for r in lsh_topk(emb, queries, k=5, dim=16).collect()
+        for r in lsh_topk(emb, queries, k=5, dim=64).collect()
     }
-    brute = {
-        (r.q_id, r.n_id, r.rank)
-        for r in brute_force_topk(emb, queries, k=5).collect()
+
+    dim, n_planes, n_tables, k = 64, 8, 4, 5
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    sigs = np.zeros((len(ids), n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        planes = np.array(_hyperplanes(dim, n_planes, seed=42 + t))
+        sigs[:, t] = (
+            ((m @ planes.T) > 0) * (1 << np.arange(n_planes))
+        ).sum(axis=1)
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in range(len(ids)):
+        for t in range(n_tables):
+            buckets.setdefault((t, sigs[i, t]), []).append(i)
+    assert len(buckets) > 4 * n_tables, "bucketing degenerate"
+
+    expected = set()
+    n_cand_total = 0
+    qidx = [i for i in range(len(ids)) if ids[i] < 3]
+    for qi in qidx:
+        cand = set()
+        for t in range(n_tables):
+            cand.update(buckets[(t, sigs[qi, t])])
+        cand.discard(qi)
+        n_cand_total += len(cand)
+        sims = sorted(
+            (
+                (
+                    -(m[qi] @ m[ci])
+                    / (np.linalg.norm(m[qi]) * np.linalg.norm(m[ci])),
+                    ids[ci],
+                )
+                for ci in cand
+            ),
+        )
+        for rank, (_, n_id) in enumerate(sims[:k], start=1):
+            expected.add((int(ids[qi]), int(n_id), rank))
+
+    assert lsh == expected
+    # the scale-path claim: candidates are a small fraction of the corpus
+    assert n_cand_total < 0.2 * len(ids) * len(qidx)
+
+
+def test_lsh_prefix_slice_parity(spark):
+    """Planes shorter than the vector project onto the prefix (explicit
+    F.slice) instead of NULL-padding: both physical paths agree and the
+    bucketing is non-degenerate."""
+    import random
+
+    from marc2rdf_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_bucket_table,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    tables = [_hyperplanes(16, 6, seed=5 + t) for t in range(2)]
+    unrolled = {
+        tuple(r)
+        for r in lsh_bucket_table(
+            emb, tables, "vec_id", "embedding", vectorized=False
+        ).collect()
     }
-    assert lsh == brute and len(lsh) == 15
+    vector = {
+        tuple(r)
+        for r in lsh_bucket_table(
+            emb, tables, "vec_id", "embedding", vectorized=True
+        ).collect()
+    }
+    assert unrolled == vector
+    assert len({(t, b) for _, t, b in unrolled}) > 4
 
 
 def test_minhash_md5_mode_equivalent_shape(docs):
