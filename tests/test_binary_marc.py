@@ -104,3 +104,59 @@ def test_iso2709_overflow_raises():
     )
     with pytest.raises(ValueError, match="5-digit|5 digits"):
         record_to_iso2709(many)
+
+
+# --- reference-authored binary artifact (independence evidence) -------------
+
+def test_reference_binary_artifact_parses():
+    """The reference's OWN on-disk ISO 2709 file
+    (spec/example.binary.normarc.mrc — the input of
+    sparql_update_spec.rb:7 and the marc2rdf.rb:50 ForgivingReader CLI
+    path) parses to reference-authored expectations: 57 records, first
+    record 001 = 0583095 (sparql_update_spec.rb:22 mints
+    ...id_0583095 from it) with creator authority id 32026400
+    (sparql_update_spec.rb:36 expects person/x32026400), and UTF-8
+    content decodes ("Bjørlykke").  Unlike the round-trip tests above,
+    neither the bytes nor the expected values were produced by this
+    repo's code."""
+    blob = open("fixtures/example.binary.normarc.mrc", "rb").read()
+    recs = parse_iso2709(blob)
+    assert len(recs) == 57
+    assert recs[0].first_value("001") == "0583095"
+    d = record_to_dict(recs[0])
+    f100 = next(df for df in d["datafields"] if df["tag"] == "100")
+    assert {"code": "3", "value": "32026400"} in f100["subfields"]
+    assert any(
+        sf["value"] == "Bjørlykke, Oskar Stein"
+        for r in recs
+        for df in record_to_dict(r)["datafields"]
+        for sf in df["subfields"]
+    )
+
+
+def test_reference_binary_artifact_converts(spark):
+    """End-to-end over the reference's binary artifact: binaryFile scan
+    -> Arrow ISO 2709 parse -> compiled dummy mapping.  Asserts the
+    subject URI + authority URI the reference's own specs pin for this
+    record (sparql_update_spec.rb:22,36; rdfmodeler_spec via
+    tnr_ prefix in SPEC_LIBRARY)."""
+    from pyspark.sql import functions as F
+
+    from marc2rdf_spark.compiler import MappingCompiler
+    from marc2rdf_spark.config import SPEC_LIBRARY, load_dummy_mapping
+    from marc2rdf_spark.sources.binary_marc import read_binary_marc
+
+    records_df = read_binary_marc(spark, "fixtures/example.binary.normarc.mrc")
+    assert records_df.count() == 57
+
+    comp = MappingCompiler(load_dummy_mapping(), SPEC_LIBRARY)
+    first = records_df.filter(
+        F.exists(
+            F.col("record.controlfields"),
+            lambda cf: (cf["tag"] == "001") & (cf["value"] == "0583095"),
+        )
+    )
+    triples = comp.convert(first)
+    s = {v for r in triples.select("subj", "pred", "obj").collect() for v in r}
+    assert "http://data.deichman.no/resource/tnr_0583095" in s
+    assert "http://data.deichman.no/person/x32026400" in s
