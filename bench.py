@@ -196,6 +196,17 @@ def main() -> None:
         return lsh_topk(emb, q, k=5, dim=64).count()
 
     timed("ann_lsh_topk", ann_lsh)
+
+    # IVF-flat (second scale path): zero-shuffle matmul cell assignment
+    from marc2rdf_spark.operators.similarity import ivf_topk
+
+    def ann_ivf():
+        q = emb.filter(F.col("vec_id") < 10)
+        return ivf_topk(
+            emb, q, k=5, n_cells=32, nprobe=4, vectorized=True
+        ).count()
+
+    timed("ann_ivf_topk", ann_ivf)
     timed(
         "docs_near_dup_embedding_lsh",
         lambda: embedding_near_dups_lsh(emb, threshold=0.45, dim=64).count(),

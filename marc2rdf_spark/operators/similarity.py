@@ -235,3 +235,144 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", F.round("sim", 4).alias("sim"), "rank")
     )
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path beside hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    out_id: str = "id",
+    vectorized: bool = False,
+) -> DataFrame:
+    """(id, cell): the ``nprobe`` nearest coarse-quantizer cells per
+    vector (cosine; ties broken by cell id).
+
+    Two physically different plans, same semantics:
+     - declarative: broadcast-crossJoin the (tiny) centroid table and
+       take the per-id top-nprobe — a corpus x K intermediate plus a
+       row_number shuffle, exactly SQL-replicable for the oracle;
+     - vectorized (the 100 TB path): the centroid matrix is collected
+       ONCE into the task closure and each Arrow batch does a single
+       normalized matmul + argpartition — per-row cell assignment with
+       ZERO shuffle and no corpus x K blow-up.  Used by the bench;
+       parity with the declarative form is pinned by
+       test_ivf_assign_vectorized_parity."""
+    if not vectorized:
+        c = F.broadcast(
+            centroids.select(
+                F.col("cell"), F.col("c_vec").cast("array<double>").alias("c_vec")
+            )
+        )
+        scored = df.crossJoin(c).select(
+            F.col(id_col).alias(out_id),
+            "cell",
+            cosine(F.col(vec_col).cast("array<double>"), F.col("c_vec")).alias(
+                "sim"
+            ),
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("sim").desc(), F.col("cell").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= nprobe)
+            .select(out_id, "cell")
+        )
+
+    from pyspark.sql.functions import pandas_udf
+
+    rows = centroids.select("cell", "c_vec").collect()
+    cells = np.array([r.cell for r in rows], dtype=np.int64)
+    cmat = np.array([r.c_vec for r in rows], dtype=np.float64)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    take = min(nprobe, len(cells))
+
+    @pandas_udf("array<long>")
+    def _cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ cmat.T  # (batch, K) — one BLAS call per Arrow batch
+        # top-nprobe by (-sim, cell): lexsort matches the declarative
+        # tie-break (sim DESC, cell ASC)
+        order = np.lexsort((np.broadcast_to(cells, sims.shape), -sims), axis=1)
+        picked = cells[order[:, :take]]
+        return pd.Series(list(picked))
+
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(_cells(F.col(vec_col))).alias("cell"),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool = False,
+) -> DataFrame:
+    """IVF-flat approximate top-k: a coarse quantizer of ``n_cells``
+    centroids (the first n_cells corpus vectors by id — a deterministic
+    random coarse quantizer; k-means refinement changes recall, not
+    structure), every corpus vector indexed into its nearest cell,
+    queries probe their ``nprobe`` nearest cells, candidates equi-join
+    on cell, exact cosine re-rank.
+
+    At corpus scale the cell equi-join replaces the cross join the same
+    way LSH's (table, bucket) join does, but with a tunable
+    cells/probes recall knob and a balanced-cells property LSH lacks
+    (hyperplane buckets skew with the data distribution; IVF cell sizes
+    follow the quantizer).  Candidate cost ~ corpus * nprobe/n_cells."""
+    centroids = F.broadcast(
+        embeddings.select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
+        )
+        .orderBy("cell")
+        .limit(n_cells)
+    )
+    index = ivf_assign_cells(
+        embeddings, centroids, 1, id_col, vec_col,
+        out_id="n_id", vectorized=vectorized,
+    )
+    probes = ivf_assign_cells(
+        queries, centroids, nprobe, id_col, vec_col,
+        out_id="q_id", vectorized=vectorized,
+    )
+    pairs = (
+        index.join(F.broadcast(probes), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    cand = pairs.join(
+        F.broadcast(
+            queries.select(F.col(id_col).alias("q_id"), vec.alias("q_vec"))
+        ),
+        "q_id",
+    ).join(
+        embeddings.select(F.col(id_col).alias("n_id"), vec.alias("n_vec")),
+        "n_id",
+    )
+    scored = cand.select(
+        "q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("sim", 4).alias("sim"), "rank")
+    )

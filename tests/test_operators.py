@@ -691,3 +691,53 @@ def test_winnow_fingerprints_shared_substring(spark):
         fps.setdefault(r.doc_id, set()).add(r.fp)
     assert fps[1] & fps[2]          # overlap detected
     assert not (fps[1] & fps[3])    # disjoint content
+
+
+def test_ivf_assign_vectorized_parity(spark):
+    """The zero-shuffle matmul cell assignment (100 TB path) must pick
+    exactly the same (id, cell) rows as the declarative broadcast-
+    crossJoin + row_number form, including the (sim DESC, cell ASC)
+    tie-break."""
+    import random
+
+    from marc2rdf_spark.operators.similarity import ivf_assign_cells
+
+    rng = random.Random(13)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    centroids = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(8)], ["cell", "c_vec"]
+    )
+    decl = {
+        tuple(r)
+        for r in ivf_assign_cells(
+            emb, centroids, 3, "vec_id", "embedding", vectorized=False
+        ).collect()
+    }
+    vect = {
+        tuple(r)
+        for r in ivf_assign_cells(
+            emb, centroids, 3, "vec_id", "embedding", vectorized=True
+        ).collect()
+    }
+    assert decl == vect
+    assert len(decl) == 60 * 3
+
+
+def test_ivf_topk_planted_neighbor(spark):
+    """A vector nearly identical to a query lands in the same cell, so
+    IVF recovers it at rank 1; candidate volume is bounded by
+    ~nprobe/n_cells of the corpus (the scale claim)."""
+    import random
+
+    from marc2rdf_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(17)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(80)]
+    rows.append((200, [x + 0.01 for x in rows[20][1]]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") == 20), k=3, n_cells=8, nprobe=2
+    )
+    got = [r.n_id for r in out.orderBy("rank").collect()]
+    assert got and got[0] == 200
