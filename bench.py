@@ -87,16 +87,33 @@ def main() -> None:
     # still INSIDE the timed window: a real job pays it once too.
     synth_and_convert(spark, 300, "skeleton", partitions=4).count()
 
+    # Pre-materialize the page corpus OUTSIDE the timed window (same
+    # rule as tools/scaling_bench.py): synthesis is a benchmark
+    # artifact; reading a table is the real job shape — production
+    # converts pages that already sit in an Iceberg/parquet table.
+    # Partition count keeps every file well under the 128 MB read-split
+    # threshold so a url's rows (written colocated) are never split
+    # across read partitions, preserving the bucket(url) invariant
+    # urls_colocated relies on.
+    from marc2rdf_spark.plans.pipeline import convert_pages, synth_web_pages
+
+    pages_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"bench_pages_{n_pages}"
+    )
+    synth_web_pages(
+        spark, n_pages, partitions=max(32, n_pages // 2000)
+    ).write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+
     def kg_pipeline():
-        # urls_colocated: the synthetic corpus satisfies the
-        # bucket(url) layout invariant (a url's crawls share a
-        # partition), so last-write-wins runs inside the Arrow pass and
-        # conversion has zero wide dependencies — the production layout
-        # at 100 TB (parity-tested against the groupBy(url) path in
+        # urls_colocated: the corpus is laid out like an Iceberg
+        # bucket(url) table (a url's crawls share a file), so
+        # last-write-wins runs inside the Arrow pass and conversion has
+        # zero wide dependencies — the production layout at 100 TB
+        # (parity-tested against the groupBy(url) path in
         # tests/test_spark_pipeline.py)
-        t = synth_and_convert(
-            spark, n_pages, "skeleton", cache_records=True,
-            urls_colocated=True,
+        t = convert_pages(
+            pages, "skeleton", cache_records=True, urls_colocated=True,
         )
         # localCheckpoint: materialize AND break lineage, so the link/CC
         # stage below doesn't re-analyze the conversion tree per action

@@ -155,3 +155,69 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
     return arr.select(
         "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
     )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 80,
+    min_alpha: float = 0.8,
+    max_digit: float = 0.2,
+    langs: tuple[str, ...] = ("en", "de", "fr"),
+) -> DataFrame:
+    """C4-style corpus cleanup composed into ONE narrow pass plus ONE
+    shuffle: token-count bounds, alpha/digit quality gates and the
+    language-ID allowlist are pure Column predicates computed in a
+    single projection over the scan (no joins between the feature
+    operators — their expressions are inlined here so the composition
+    never shuffles per-feature), then the exact-dedup keeper rule
+    (first doc_id per content fingerprint) is the only wide operation,
+    and it runs on the gated survivors only.
+
+    At 100 TB this is the canonical pre-training cleanup job shape:
+    filters prune early (and push into the scan), the dedup shuffle
+    moves only what survived."""
+    from pyspark.sql.window import Window
+
+    text = F.col("text")
+    total = F.length(text).cast("double")
+    safe_total = F.when(total > 0, total).otherwise(F.lit(1.0))
+    alpha_ratio = F.round(
+        F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+        / safe_total,
+        4,
+    )
+    digit_ratio = F.round(
+        F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double")
+        / safe_total,
+        4,
+    )
+    codes = list(LANG_MARKERS)
+    hits = {c: _marker_hits(text, ws) for c, ws in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    for c in reversed(codes):  # earlier codes win ties
+        pred = F.when((best > 0) & (hits[c] == best), F.lit(c)).otherwise(pred)
+    norm = F.regexp_replace(F.lower(F.trim(text)), WS_SPLIT, " ")
+
+    feats = docs.select(
+        "doc_id",
+        token_count(text).alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        pred.alias("lang_pred"),
+        F.md5(norm).alias("fp"),
+    )
+    gated = feats.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("alpha_ratio") >= min_alpha)
+        & (F.col("digit_ratio") <= max_digit)
+        & F.col("lang_pred").isin(*langs)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tokens", "alpha_ratio", "digit_ratio", "lang_pred")
+    )

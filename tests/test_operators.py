@@ -741,3 +741,26 @@ def test_ivf_topk_planted_neighbor(spark):
     )
     got = [r.n_id for r in out.orderBy("rank").collect()]
     assert got and got[0] == 200
+
+
+def test_clean_corpus_composition(spark):
+    """Gates + language allowlist + exact-dedup keeper in one pass:
+    short docs, digit-heavy docs, disallowed languages and non-keeper
+    duplicates all drop; the keeper survives once."""
+    from marc2rdf_spark.operators.textstats import clean_corpus
+
+    good = " ".join(["the quick brown fox and the lazy dog run"] * 3)
+    rows = [
+        (1, good),
+        (2, good),  # exact dup of 1 -> dropped, 1 kept
+        (3, "short text"),  # too few tokens
+        (4, " ".join(["og det var ikke som av en bok"] * 4)),  # lang 'no'
+        (5, " ".join(["12345 67890 13579"] * 10)),  # digit-heavy
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = clean_corpus(
+        docs, min_tokens=10, max_tokens=100, min_alpha=0.5,
+        max_digit=0.2, langs=("en", "de", "fr"),
+    )
+    got = {r.doc_id: r.lang_pred for r in out.collect()}
+    assert got == {1: "en"}
