@@ -360,21 +360,27 @@ def embedding_near_dups(
     cosine >= threshold) — the correctness baseline: an all-pairs join,
     quadratic by construction, oracle-checkable.  Use the LSH variant
     below for corpus scale."""
-    from .similarity import cosine
+    from .similarity import cosine_pre, norm
 
+    vec = F.col(vec_col).cast("array<double>")
     a = embeddings.select(
         F.col(id_col).alias("a_id"),
-        F.col(vec_col).cast("array<double>").alias("a_vec"),
+        vec.alias("a_vec"),
+        norm(vec).alias("a_norm"),
     )
     b = embeddings.select(
         F.col(id_col).alias("b_id"),
-        F.col(vec_col).cast("array<double>").alias("b_vec"),
+        vec.alias("b_vec"),
+        norm(vec).alias("b_norm"),
     )
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
         .select(
             "a_id", "b_id",
-            cosine(F.col("a_vec"), F.col("b_vec")).alias("sim"),
+            cosine_pre(
+                F.col("a_vec"), F.col("b_vec"),
+                F.col("a_norm"), F.col("b_norm"),
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
         .select("a_id", "b_id", F.round("sim", 4).alias("sim"))
@@ -396,7 +402,7 @@ def embedding_near_dups_lsh(
     bucket-partitioned shuffle instead of the all-pairs join), then
     exact cosine re-check.  Recall is tunable via tables x planes; the
     exact re-check keeps precision at 1.0."""
-    from .similarity import _hyperplanes, cosine, lsh_bucket_table
+    from .similarity import _hyperplanes, cosine_pre, lsh_bucket_table, norm
 
     tables = [
         _hyperplanes(dim, n_planes, seed=1337 + t) for t in range(n_tables)
@@ -418,18 +424,31 @@ def embedding_near_dups_lsh(
         .select("a_id", "b_id")
         .distinct()
     )
-    vecs = embeddings.select(F.col(id_col).alias("id"), vec.alias("v"))
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), vec.alias("v"), norm(vec).alias("nrm")
+    )
     cand = pairs.join(
-        vecs.select(F.col("id").alias("a_id"), F.col("v").alias("a_vec")),
+        vecs.select(
+            F.col("id").alias("a_id"),
+            F.col("v").alias("a_vec"),
+            F.col("nrm").alias("a_norm"),
+        ),
         "a_id",
     ).join(
-        vecs.select(F.col("id").alias("b_id"), F.col("v").alias("b_vec")),
+        vecs.select(
+            F.col("id").alias("b_id"),
+            F.col("v").alias("b_vec"),
+            F.col("nrm").alias("b_norm"),
+        ),
         "b_id",
     )
     return (
         cand.select(
             "a_id", "b_id",
-            cosine(F.col("a_vec"), F.col("b_vec")).alias("sim"),
+            cosine_pre(
+                F.col("a_vec"), F.col("b_vec"),
+                F.col("a_norm"), F.col("b_norm"),
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
         .select("a_id", "b_id", F.round("sim", 4).alias("sim"))
