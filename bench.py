@@ -182,6 +182,12 @@ def main() -> None:
     timed("docs_quality", lambda: quality_features(docs).count())
     timed("docs_lang_id", lambda: lang_id(docs).count())
 
+    from marc2rdf_spark.operators.textstats import clean_corpus
+
+    # C4-style cleanup composition: all gates in one scan-stage
+    # projection, the exact-dedup keeper shuffle the only exchange
+    timed("docs_clean_corpus", lambda: clean_corpus(docs).count())
+
     # capped-pair observability for the minhash path (VERDICT r1 #6)
     from marc2rdf_spark.operators.dedup import (
         embedding_near_dups_lsh,
