@@ -209,16 +209,33 @@ def main() -> None:
 
     def ann():
         q = emb.filter(F.col("vec_id") < 10)
-        return brute_force_topk(emb, q, k=5).count()
+        return brute_force_topk(emb, q, k=5)
 
-    timed("ann_topk", ann)
+    brute = timed("ann_topk", lambda: ann().localCheckpoint(eager=True))
+
+    def recall_vs_brute(approx_df) -> float:
+        """recall@k of an approximate top-k vs the brute-force truth —
+        the number an ANN user actually tunes (the value oracles
+        replicate the algorithm, so they can't see recall).  Tiny
+        collect: n_queries x k rows."""
+        truth: dict = {}
+        for r in brute.select("q_id", "n_id").collect():
+            truth.setdefault(r.q_id, set()).add(r.n_id)
+        got: dict = {}
+        for r in approx_df.select("q_id", "n_id").collect():
+            got.setdefault(r.q_id, set()).add(r.n_id)
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        total = sum(len(v) for v in truth.values())
+        return round(hits / total, 4) if total else 1.0
 
     # the claimed 100 TB paths, timed (VERDICT r1 #6)
     def ann_lsh():
         q = emb.filter(F.col("vec_id") < 10)
-        return lsh_topk(emb, q, k=5, dim=64).count()
+        return lsh_topk(emb, q, k=5, dim=64).localCheckpoint(eager=True)
 
-    timed("ann_lsh_topk", ann_lsh)
+    lsh_out = timed("ann_lsh_topk", ann_lsh)
+    extra["ann_lsh_recall_at_5"] = recall_vs_brute(lsh_out)
+    extra["ann_lsh_knobs"] = "dim=64 n_planes=8 n_tables=4"
 
     # IVF-flat (second scale path): zero-shuffle matmul cell assignment
     from marc2rdf_spark.operators.similarity import ivf_topk
@@ -227,9 +244,11 @@ def main() -> None:
         q = emb.filter(F.col("vec_id") < 10)
         return ivf_topk(
             emb, q, k=5, n_cells=32, nprobe=4, vectorized=True
-        ).count()
+        ).localCheckpoint(eager=True)
 
-    timed("ann_ivf_topk", ann_ivf)
+    ivf_out = timed("ann_ivf_topk", ann_ivf)
+    extra["ann_ivf_recall_at_5"] = recall_vs_brute(ivf_out)
+    extra["ann_ivf_knobs"] = "n_cells=32 nprobe=4"
     timed(
         "docs_near_dup_embedding_lsh",
         lambda: embedding_near_dups_lsh(emb, threshold=0.45, dim=64).count(),

@@ -107,8 +107,37 @@ def find_record_strings(text: str) -> list[str]:
     so extraction is byte-identical per url.  OAI ListRecords envelopes
     yield one (balanced) outer <record> per harvested record — header
     plus metadata — which parse_record_xml descends into.
-    """
-    return [m.group(0) for m in _RECORD_RE.finditer(text)]
+
+    The backreferenced close tag handles the common envelope shape
+    (prefixed MARC record inside an unprefixed OAI <record>), but a
+    provider may emit BOTH levels unprefixed (default-xmlns marcxchange
+    inside default-xmlns OAI-PMH — valid and common); the non-greedy
+    regex would then stop at the INNER </record> and hand a malformed
+    fragment to the parser.  Each match is therefore re-balanced: while
+    it contains more same-prefix opens than closes, it is extended to
+    the next close tag.  Matches swallowed by an extension are skipped,
+    so fragments stay non-overlapping."""
+    out: list[str] = []
+    last_end = 0
+    for m in _RECORD_RE.finditer(text):
+        if m.start() < last_end:  # inside a previously extended match
+            continue
+        prefix = re.escape(m.group(1))
+        open_re = re.compile(rf"<{prefix}record[\s>]")
+        close_re = re.compile(rf"</{prefix}record\s*>")
+        end = m.end()
+        opens = len(open_re.findall(text, m.start(), end))
+        closes = len(close_re.findall(text, m.start(), end))
+        while opens > closes:
+            nxt = close_re.search(text, end)
+            if nxt is None:  # unbalanced to EOF: keep the regex match
+                break
+            opens += len(open_re.findall(text, end, nxt.start()))
+            closes += 1
+            end = nxt.end()
+        out.append(text[m.start() : end])
+        last_end = end
+    return out
 
 
 def _localname(tag: str) -> str:
@@ -160,6 +189,21 @@ def parse_record_xml(xml: str) -> Record:
                     df.subfields.append(Subfield(sf.get("code", ""), sf.text or ""))
             rec.fields.append(df)
     return rec
+
+
+def try_parse_record_xml(xml: str) -> Record | None:
+    """Forgiving variant for the extract task: a snippet that is not
+    well-formed XML (truncated page, pathological nesting the
+    re-balancer could not close) returns None instead of crashing the
+    whole Arrow batch — one broken page on a 100 TB crawl must cost
+    one record, not a task retry storm.  Callers skip None (the
+    reference reader is likewise forgiving)."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        return parse_record_xml(xml)
+    except ET.ParseError:
+        return None
 
 
 def parse_collection_xml(xml: str) -> list[Record]:

@@ -32,24 +32,34 @@ def normalized_text(text: Column) -> Column:
 
 
 def exact_duplicates(docs: DataFrame, sample_ids: int = 20) -> DataFrame:
-    """Exact dedup via content digest: one partial-aggregated shuffle.
+    """Exact dedup via content digest.
     Returns (fp, keep_id, n_docs, doc_ids) for groups with > 1 doc.
 
     ``doc_ids`` is a bounded SAMPLE (the ``sample_ids`` smallest ids),
-    not the full group: on a boilerplate-heavy corpus a single hot
-    fingerprint can hold 10^7+ ids, and an unbounded collect_list puts
-    them all in one aggregation buffer.  For the complete drop-list use
+    and — unlike a slice AFTER collect_list — the bound holds in the
+    AGGREGATION BUFFER too: ids are ranked per fingerprint first
+    (row_number over the same hash partitioning the groupBy reuses, so
+    no extra shuffle) and only ranks <= sample_ids enter collect_list.
+    On a boilerplate-heavy corpus a single hot fingerprint can hold
+    10^7+ ids; with the pre-rank no buffer ever holds more than
+    ``sample_ids`` of them.  For the complete drop-list use
     ``duplicate_drop_list`` (a join-back, never an array)."""
+    from pyspark.sql.window import Window
+
     withfp = docs.select(
         "doc_id", F.md5(normalized_text(F.col("text"))).alias("fp")
     )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ranked = withfp.withColumn("_rn", F.row_number().over(w))
     return (
-        withfp.groupBy("fp")
+        ranked.groupBy("fp")
         .agg(
             F.min("doc_id").alias("keep_id"),
             F.count("*").alias("n_docs"),
-            F.slice(
-                F.sort_array(F.collect_list("doc_id")), 1, sample_ids
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= sample_ids, F.col("doc_id"))
+                )
             ).alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)

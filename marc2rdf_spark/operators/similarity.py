@@ -104,15 +104,24 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     of NULL-poisoning the dot (zip_with pads the shorter side with
     NULL, which would collapse every signature to bucket 0 and
     silently degrade LSH to brute force).  Plane dim > vector dim is
-    a caller error (the padded tail still yields NULL dots).
+    a caller error and FAILS LOUDLY (assert_true), matching the
+    vectorized path's ValueError — the NULL-padded tail would
+    otherwise zero every signature, the same single-bucket degradation
+    in the opposite direction.
 
     Literal-unrolled form: builds dim x n_planes literal expression
     nodes, fine at toy dims but a driver-analysis blowup at production
     embedding dims (768-4096) x 8 tables — use lsh_bucket_table /
     the vectorized path below past _VECTORIZE_NODE_BUDGET."""
     sig = F.lit(0).cast("long")
+    ok = None
     if planes:
-        vec = F.slice(vec, 1, len(planes[0]))
+        plane_dim = len(planes[0])
+        ok = F.assert_true(
+            F.size(vec) >= plane_dim,
+            F.lit(f"vector dim < plane dim {plane_dim}"),
+        )
+        vec = F.slice(vec, 1, plane_dim)
     for i, p in enumerate(planes):
         d = dot(vec, F.array(*[F.lit(x) for x in p]))
         sig = sig.bitwiseOR(
@@ -120,13 +129,24 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
                 F.lit(0).cast("long")
             )
         )
+    if ok is not None:
+        # assert_true evaluates to NULL when the predicate holds (and
+        # raises otherwise), so this is the identity on valid input
+        sig = F.when(ok.isNull(), sig)
     return sig
 
 
 # Beyond this many plane-literal nodes the unrolled Column form costs
-# more in driver analysis + interpreted HOF evaluation than one Arrow
-# batch exchange; switch to the vectorized matmul projection.
-_VECTORIZE_NODE_BUDGET = 8192
+# more than one Arrow batch exchange and we switch to the vectorized
+# matmul projection.  The dominant term is NOT plan size but execution:
+# each unrolled dot is a higher-order aggregate(zip_with(...)) —
+# CodegenFallback, interpreted per row per plane — so the unrolled form
+# only wins where the data is too small for the Python-worker round
+# trip to amortize.  Measured at sf0.1 (20k vectors, dim 64, 4x8
+# planes = 2048 nodes): unrolled 6.3 s vs vectorized 1.1 s — the
+# r2->r3 ann_lsh_topk "regression" was this path; the old 8192 budget
+# kept the bench on the slow side of the crossover.
+_VECTORIZE_NODE_BUDGET = 512
 
 
 def lsh_bucket_table(

@@ -176,9 +176,17 @@ def clean_corpus(
 
     At 100 TB this is the canonical pre-training cleanup job shape:
     filters prune early (and push into the scan), the dedup shuffle
-    moves only what survived."""
-    from pyspark.sql.window import Window
+    moves only what survived.
 
+    The keeper is a ``min_by`` groupBy, NOT a row_number window: same
+    shuffle count, but (a) no sort inside hot fingerprint groups on a
+    boilerplate-heavy corpus, and (b) no WindowGroupLimit sort stage —
+    measured here, that sort's generated ``sort_addToSorter_0()``
+    inlined this function's entire gate projection and grew beyond
+    janino's 64 KB method limit, silently de-optimizing the whole
+    stage to interpreted evaluation (the unattributed codegen fallback
+    in BENCH_r03; reproduced as a hard error with
+    SPARK_CODEGEN_FALLBACK=false)."""
     text = F.col("text")
     total = F.length(text).cast("double")
     safe_total = F.when(total > 0, total).otherwise(F.lit(1.0))
@@ -193,31 +201,69 @@ def clean_corpus(
         4,
     )
     codes = list(LANG_MARKERS)
-    hits = {c: _marker_hits(text, ws) for c, ws in LANG_MARKERS.items()}
-    best = F.greatest(*hits.values())
-    pred = F.lit("und")
-    for c in reversed(codes):  # earlier codes win ties
-        pred = F.when((best > 0) & (hits[c] == best), F.lit(c)).otherwise(pred)
     norm = F.regexp_replace(F.lower(F.trim(text)), WS_SPLIT, " ")
 
-    feats = docs.select(
+    # Lang argmax with a SINGLE reference per marker-hit tree: greatest
+    # over (hits, priority, code) structs — struct comparison is
+    # lexicographic, so max hits wins, higher priority (the EARLIER
+    # code in LANG_MARKERS order) breaks ties, and the (0, top, 'und')
+    # sentinel wins only when every count is zero.  Same values as
+    # lang_id()'s when-chain, but ONE field access means each hit
+    # expression appears exactly once even where Catalyst substitutes
+    # aliases (the when-chain form references every hit ~6x, and
+    # pushdown-substituted into a Filter condition that duplication is
+    # what grew past janino's 64 KB method limit).
+    n_codes = len(codes)
+    pred = F.greatest(
+        *[
+            F.struct(
+                _marker_hits(text, LANG_MARKERS[c]).alias("h"),
+                F.lit(n_codes - i).alias("pri"),
+                F.lit(c).alias("code"),
+            )
+            for i, c in enumerate(codes)
+        ],
+        F.struct(
+            F.lit(0).cast("long").alias("h"),
+            F.lit(n_codes + 1).alias("pri"),
+            F.lit("und").alias("code"),
+        ),
+    ).getField("code")
+
+    raw = docs.select(
         "doc_id",
         token_count(text).alias("n_tokens"),
         alpha_ratio.alias("alpha_ratio"),
         digit_ratio.alias("digit_ratio"),
         pred.alias("lang_pred"),
         F.md5(norm).alias("fp"),
+        # Optimizer fence: one non-deterministic column (dropped below,
+        # never read) blocks CollapseProject and predicate pushdown
+        # through this projection, pinning the heavy text expressions
+        # HERE — in a ProjectExec, the one whole-stage operator that
+        # can split its generated code into sub-methods.  Without it
+        # the gate predicate is substituted into a FilterExec condition
+        # (unsplittable, no CSE) and the fused stage trips janino's
+        # 64 KB limit -> silent interpreted fallback (BENCH_r03).  It
+        # also halves the work: gates are computed once, not re-derived
+        # per reference.  Output is fully deterministic.
+        F.rand(42).alias("_fence"),
     )
-    gated = feats.filter(
+    gated = raw.filter(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("n_tokens") <= max_tokens)
         & (F.col("alpha_ratio") >= min_alpha)
         & (F.col("digit_ratio") <= max_digit)
         & F.col("lang_pred").isin(*langs)
+    ).drop("_fence")
+    keep = gated.groupBy("fp").agg(
+        F.min_by(
+            F.struct(
+                "doc_id", "n_tokens", "alpha_ratio", "digit_ratio", "lang_pred"
+            ),
+            F.col("doc_id"),
+        ).alias("k")
     )
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    return (
-        gated.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "n_tokens", "alpha_ratio", "digit_ratio", "lang_pred")
+    return keep.select(
+        "k.doc_id", "k.n_tokens", "k.alpha_ratio", "k.digit_ratio", "k.lang_pred"
     )

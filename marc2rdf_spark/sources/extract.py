@@ -23,7 +23,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..marc import find_record_strings, parse_record_xml, record_to_dict
+from ..marc import find_record_strings, record_to_dict, try_parse_record_xml
 from ..schema import RECORDS_SCHEMA
 
 
@@ -84,9 +84,12 @@ def extract_and_parse(
             urls, xmls, recs = [], [], []
             for url, (_, text) in best.items():
                 for snippet in find_record_strings(text):
+                    rec = try_parse_record_xml(snippet)
+                    if rec is None:  # malformed snippet: skip, don't
+                        continue     # fail the whole Arrow batch
                     urls.append(url)
                     xmls.append(snippet if include_xml else None)
-                    recs.append(record_to_dict(parse_record_xml(snippet)))
+                    recs.append(record_to_dict(rec))
             yield pd.DataFrame(
                 {"url": urls, "record_xml": xmls, "record": recs}
             )
@@ -104,10 +107,13 @@ def extract_and_parse(
                 if text is None:
                     continue
                 for snippet in find_record_strings(text):
+                    rec = try_parse_record_xml(snippet)
+                    if rec is None:  # malformed snippet: skip, don't
+                        continue     # fail the whole Arrow batch
                     urls.append(url)
                     # exact substring: byte-identical (unless pruned)
                     xmls.append(snippet if include_xml else None)
-                    recs.append(record_to_dict(parse_record_xml(snippet)))
+                    recs.append(record_to_dict(rec))
             yield pd.DataFrame(
                 {"url": urls, "record_xml": xmls, "record": recs}
             )

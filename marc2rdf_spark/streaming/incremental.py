@@ -199,19 +199,37 @@ def apply_tombstones_versioned(
     reinsert semantics (sparql_update.rb executes the DELETE at
     tombstone arrival; a later harvest re-inserts).
 
+    SAME-BATCH tie-break: **tombstone wins**.  Batch id is the unit of
+    ordering here, so a record re-delivered live in the SAME
+    micro-batch as its tombstone is suppressed regardless of
+    intra-response arrival order — a deliberate divergence from the
+    reference's strictly per-record apply order (scheduler.rb walks
+    records one by one), chosen because delete-wins is the safe
+    resolution for a dedup/purge pipeline (a dropped record can be
+    re-harvested; a leaked deleted record is a compliance bug).
+    Callers needing the reference's within-response ordering should
+    emit finer-grained batch stamps (e.g. a per-record sequence), not
+    change this rule.
+
+    Legacy rows with NULL batch_id (stores written before stamping, or
+    mixed-schema reads) coalesce to batch -1 = "before every
+    tombstone", reproducing the legacy unconditional-purge fallback
+    deterministically instead of reading nondeterministically.
+
     Two broadcast left joins against the per-subject max tombstone
     batch — the tombstone set is tiny relative to the store, so no
     store-sized shuffle."""
     tomb_max = F.broadcast(
         tombstones.groupBy("subj").agg(F.max("batch_id").alias("tb"))
     )
+    batch = F.coalesce(F.col("batch_id"), F.lit(-1).cast("long"))
     out = (
         triples.join(
             tomb_max.select(F.col("subj").alias("_ts"), F.col("tb").alias("_stb")),
             F.col("subj") == F.col("_ts"),
             "left",
         )
-        .filter(F.col("_stb").isNull() | (F.col("_stb") < F.col("batch_id")))
+        .filter(F.col("_stb").isNull() | (F.col("_stb") < batch))
         .drop("_ts", "_stb")
     )
     return (
@@ -220,7 +238,7 @@ def apply_tombstones_versioned(
             F.col("obj") == F.col("_to"),
             "left",
         )
-        .filter(F.col("_otb").isNull() | (F.col("_otb") < F.col("batch_id")))
+        .filter(F.col("_otb").isNull() | (F.col("_otb") < batch))
         .drop("_to", "_otb")
     )
 
@@ -235,9 +253,17 @@ def read_converted(spark: SparkSession, out_path: str) -> DataFrame:
     back to unconditional purge."""
     from pyspark.errors import AnalysisException
 
-    triples = spark.read.parquet(out_path)
+    # mergeSchema: a mixed store (stamped + pre-batch_id legacy files)
+    # must surface batch_id whenever ANY file carries it — the default
+    # single-footer schema inference would make the versioned-vs-legacy
+    # branch below depend on which file Spark sampled.  Legacy rows
+    # read NULL batch_id and resolve as "before every tombstone"
+    # (apply_tombstones_versioned coalesces to -1).
+    triples = spark.read.option("mergeSchema", "true").parquet(out_path)
     try:
-        tombs = spark.read.parquet(out_path + "_tombstones")
+        tombs = spark.read.option("mergeSchema", "true").parquet(
+            out_path + "_tombstones"
+        )
     except AnalysisException:  # no tombstones staged yet
         return triples
     if "batch_id" in triples.columns and "batch_id" in tombs.columns:

@@ -83,3 +83,48 @@ def test_oai_metadata_converts_to_triples(spark, oai_text):
     # relation blocks additionally mint authority person nodes)
     rec_subjects = {s for s in subjects if s.startswith("http://example.com/id_")}
     assert len(rec_subjects) == 10
+
+
+def test_same_prefix_nested_record_rebalanced():
+    """A provider emitting BOTH the OAI envelope <record> and the
+    nested MARC record unprefixed (default-xmlns at each level — valid
+    and common) must yield ONE balanced outer fragment, not a
+    malformed one that stops at the inner </record>."""
+    from marc2rdf_spark.marc import find_record_strings, parse_record_xml
+
+    env = (
+        "<OAI-PMH xmlns='http://www.openarchives.org/OAI/2.0/'>"
+        "<ListRecords>"
+        "<record><header><identifier>oai:x:1</identifier></header>"
+        "<metadata>"
+        "<record xmlns='info:lc/xmlns/marcxchange-v1'>"
+        "<leader>00000nam</leader>"
+        "<controlfield tag='001'>111</controlfield>"
+        "</record>"
+        "</metadata></record>"
+        "<record><header><identifier>oai:x:2</identifier></header>"
+        "<metadata>"
+        "<record xmlns='info:lc/xmlns/marcxchange-v1'>"
+        "<controlfield tag='001'>222</controlfield>"
+        "</record>"
+        "</metadata></record>"
+        "</ListRecords></OAI-PMH>"
+    )
+    blocks = find_record_strings(env)
+    assert len(blocks) == 2
+    for block, ident in zip(blocks, ("111", "222")):
+        # balanced: parses, and descends to the inner MARC record
+        rec = parse_record_xml(block)
+        assert rec.first_value("001") == ident
+
+
+def test_unbalanced_record_snippet_skipped_not_crashed():
+    """A truncated/malformed snippet must cost one record, not the
+    Arrow batch: try_parse_record_xml returns None."""
+    from marc2rdf_spark.marc import try_parse_record_xml
+
+    assert try_parse_record_xml("<record><leader>x</record></oops>") is None
+    ok = try_parse_record_xml(
+        "<record><controlfield tag='001'>9</controlfield></record>"
+    )
+    assert ok is not None and ok.first_value("001") == "9"

@@ -764,3 +764,21 @@ def test_clean_corpus_composition(spark):
     )
     got = {r.doc_id: r.lang_pred for r in out.collect()}
     assert got == {1: "en"}
+
+
+def test_lsh_bucket_plane_dim_exceeds_vector_dim_raises(spark):
+    """ADVICE r3: the unrolled path must fail loudly (like the
+    vectorized path's ValueError) when planes are LONGER than the
+    vectors — NULL-padded dots would otherwise collapse every
+    signature to bucket 0, silently degrading LSH to brute force."""
+    import pytest as _pytest
+
+    from marc2rdf_spark.operators.similarity import lsh_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    with _pytest.raises(Exception, match="vector dim|ASSERT"):
+        lsh_topk(emb, q, k=2, dim=16, vectorized=False).collect()

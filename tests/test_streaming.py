@@ -167,3 +167,27 @@ def test_window_batch_prunes(spark):
     # the predicate must be pushed to the scan for file pruning
     plan = win._jdf.queryExecution().executedPlan().toString()
     assert "warc_ts" in plan
+
+
+def test_legacy_unstamped_rows_purge_deterministically(spark):
+    """ADVICE r3: rows with NULL batch_id (legacy pre-stamping files in
+    a mixed store) must resolve as 'before every tombstone' — purged by
+    any tombstone for their subject — not read nondeterministically."""
+    from marc2rdf_spark.streaming.incremental import (
+        apply_tombstones_versioned,
+    )
+
+    triples = spark.createDataFrame(
+        [
+            ("s1", "p", "o", None),      # legacy row, tombstoned subj
+            ("s2", "p", "o", None),      # legacy row, no tombstone
+            ("s1", "p", "o2", 5),        # re-delivered AFTER tombstone
+        ],
+        "subj string, pred string, obj string, batch_id long",
+    )
+    tombs = spark.createDataFrame(
+        [("s1", 3)], "subj string, batch_id long"
+    )
+    out = apply_tombstones_versioned(triples, tombs)
+    rows = {(r.subj, r.obj) for r in out.collect()}
+    assert rows == {("s2", "o"), ("s1", "o2")}

@@ -50,6 +50,41 @@ import time
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Files whose code is on the measured path: convert (phase A), link+CC
+# (phase B) and this harness itself.  Pooling best-of walls across
+# recorded runs is only valid across runs of the SAME code — the run
+# log stores this fingerprint and the pool filters on it, so a future
+# convert-path change can never silently publish an efficiency that
+# was measured on older code (ADVICE r3).
+_MEASURED_PATH_FILES = (
+    "marc2rdf_spark/marc.py",
+    "marc2rdf_spark/session.py",
+    "marc2rdf_spark/sources/extract.py",
+    "marc2rdf_spark/sources/synth.py",
+    "marc2rdf_spark/compiler/specs.py",
+    "marc2rdf_spark/compiler/compiler.py",
+    "marc2rdf_spark/plans/pipeline.py",
+    "marc2rdf_spark/functions/exprs.py",
+    "marc2rdf_spark/functions/textsem.py",
+    "marc2rdf_spark/operators/linking.py",
+    "marc2rdf_spark/operators/components.py",
+    "tools/scaling_bench.py",
+)
+
+
+def measured_path_fingerprint() -> str:
+    """md5 over the measured-path sources (stable across unrelated
+    repo changes, unlike the git rev)."""
+    import hashlib
+
+    h = hashlib.md5()
+    for rel in _MEASURED_PATH_FILES:
+        p = os.path.join(HERE, rel)
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()[:12]
+
 WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
@@ -374,9 +409,11 @@ def main() -> None:
         ).stdout.strip() or "unknown"
     except Exception:
         pass
+    code_fp = measured_path_fingerprint()
     record = {
         "ts": dt.datetime.now().isoformat(timespec="seconds"),
         "git_rev": rev,
+        "code_fp": code_fp,
         "pages": args.pages, "low": args.low, "high": args.high,
         "cores_per_exec": args.cores_per_exec,
         "convert_walls_low": [r["wall_seconds"] for r in lows],
@@ -388,14 +425,20 @@ def main() -> None:
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
     with open(runlog_path, "a") as f:
         f.write(json.dumps(record) + "\n")
-    pooled = []
+    pooled, stale = [], []
     with open(runlog_path) as f:
         for line in f:
             r = json.loads(line)
             if (r["pages"], r["low"], r["high"], r["cores_per_exec"]) == (
                 args.pages, args.low, args.high, args.cores_per_exec
             ):
-                pooled.append(r)
+                # pool ONLY runs of the current measured-path code:
+                # mixing walls from older code would publish an
+                # efficiency never measured on this revision
+                if r.get("code_fp") == code_fp:
+                    pooled.append(r)
+                else:
+                    stale.append(r)
     pool_low = min(min(r["convert_walls_low"]) for r in pooled)
     pool_high = min(min(r["convert_walls_high"]) for r in pooled)
     pool_eff = (low["triples"] / pool_high) / (
@@ -443,10 +486,12 @@ extract/parse -> compiled mapping -> in-shard dedup -> count.
   level within THIS run (host noise only ever adds wall time)
 - link+CC tail speedup N -> 4N: **{speedup_b:.2f}x**,
   **scaling efficiency {efficiency_b:.2f}**
-- **pooled across all {len(pooled)} recorded same-config runs**
-  (BENCH/scaling_runs.jsonl — every run's raw walls + git rev; the
-  convert path is unchanged across them): best N wall {pool_low} s,
-  best 4N wall {pool_high} s -> **efficiency {pool_eff:.2f}**.
+- **pooled across all {len(pooled)} recorded same-config, same-code
+  runs** (BENCH/scaling_runs.jsonl — every run's raw walls + git rev +
+  measured-path fingerprint `{code_fp}`; {len(stale)} same-config runs
+  of OLDER code are in the log but excluded from the pool): best N
+  wall {pool_low} s, best 4N wall {pool_high} s ->
+  **efficiency {pool_eff:.2f}**.
   Pooling is the same best-of rule applied across invocations: on this
   shared VM neighbor load varies by hour and only ever ADDS wall time,
   so the minimum observed wall per level is the cleanest estimate of
