@@ -237,25 +237,21 @@ def clean_corpus(
         digit_ratio.alias("digit_ratio"),
         pred.alias("lang_pred"),
         F.md5(norm).alias("fp"),
-        # Optimizer fence: one non-deterministic column (dropped below,
-        # never read) blocks CollapseProject and predicate pushdown
-        # through this projection, pinning the heavy text expressions
-        # HERE — in a ProjectExec, the one whole-stage operator that
-        # can split its generated code into sub-methods.  Without it
-        # the gate predicate is substituted into a FilterExec condition
-        # (unsplittable, no CSE) and the fused stage trips janino's
-        # 64 KB limit -> silent interpreted fallback (BENCH_r03).  It
-        # also halves the work: gates are computed once, not re-derived
-        # per reference.  Output is fully deterministic.
-        F.rand(42).alias("_fence"),
     )
+    # Catalyst substitutes this predicate through the projection down
+    # to the scan — which is the RIGHT plan (rows failing the gates
+    # never pay the md5/fp), and with the single-reference argmax the
+    # substituted Filter condition stays under janino's method limit
+    # (FilterExec cannot split its generated condition; the old
+    # when-chain form overflowed it).  Verified compile-clean with
+    # SPARK_CODEGEN_FALLBACK=false.
     gated = raw.filter(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("n_tokens") <= max_tokens)
         & (F.col("alpha_ratio") >= min_alpha)
         & (F.col("digit_ratio") <= max_digit)
         & F.col("lang_pred").isin(*langs)
-    ).drop("_fence")
+    )
     keep = gated.groupBy("fp").agg(
         F.min_by(
             F.struct(
