@@ -782,3 +782,35 @@ def test_lsh_bucket_plane_dim_exceeds_vector_dim_raises(spark):
     q = emb.filter(F.col("vec_id") == 0)
     with _pytest.raises(Exception, match="vector dim|ASSERT"):
         lsh_topk(emb, q, k=2, dim=16, vectorized=False).collect()
+
+
+def test_connected_components_stats_and_long_ids(spark):
+    """The long-id rounds must report their mode + per-round frontier
+    sizes (the exchange-bytes evidence), and still label by
+    lexicographic min URI."""
+    from marc2rdf_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("x", "y")],
+        "left_uri string, right_uri string",
+    )
+    st: dict = {}
+    comps = connected_components(edges, stats=st)
+    labels = {r.uri: r.component for r in comps.collect()}
+    assert labels == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x"}
+    assert st["node_ids"] == "xxhash64"
+    assert st["converged"] and len(st["round_rows"]) == st["rounds"]
+
+
+def test_connected_components_empty_and_self_loop(spark):
+    from marc2rdf_spark.operators.components import connected_components
+
+    empty = spark.createDataFrame(
+        [], "left_uri string, right_uri string"
+    )
+    assert connected_components(empty).count() == 0
+    loops = spark.createDataFrame(
+        [("a", "a")], "left_uri string, right_uri string"
+    )
+    rows = connected_components(loops).collect()
+    assert [(r.uri, r.component) for r in rows] == [("a", "a")]

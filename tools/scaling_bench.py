@@ -246,6 +246,17 @@ def pretouch(corpus: str) -> None:
                     pass
 
 
+def _cpu_times() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — steal is time the
+    hypervisor ran OTHER tenants while this VM was runnable, the direct
+    measurement of neighbor contention on a shared box."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def run_level(
     n_exec: int, cores: int, corpus: str, n_shards: int
 ) -> dict:
@@ -306,19 +317,29 @@ def run_level(
         raise RuntimeError("phase barrier timeout")
 
     # phase A: conversion
+    st0 = _cpu_times()
     t0 = time.time()
     open(os.path.join(rundir, "go"), "w").close()
     _await([f"done_a_{w}" for w in range(n_exec)])
     wall_a = time.time() - t0
+    st1 = _cpu_times()
+    steal_a = round(
+        100.0 * (st1[0] - st0[0]) / max(st1[1] - st0[1], 1), 2
+    )
 
     # untimed handoff barrier: every executor has persisted its triples
     _await([f"ready_b_{w}" for w in range(n_exec)])
 
     # phase B: link + CC + canonicalize tail
+    st0 = _cpu_times()
     t0 = time.time()
     open(os.path.join(rundir, "go_b"), "w").close()
     _await([f"done_b_{w}" for w in range(n_exec)])
     wall_b = time.time() - t0
+    st1 = _cpu_times()
+    steal_b = round(
+        100.0 * (st1[0] - st0[0]) / max(st1[1] - st0[1], 1), 2
+    )
     for p in procs:
         p.wait(timeout=300)
 
@@ -335,8 +356,10 @@ def run_level(
         "total_cores": n_exec * cores,
         "triples": total, "wall_seconds": round(wall_a, 2),
         "triples_per_sec": round(total / wall_a, 1),
+        "steal_pct": steal_a,
         "linkcc_triples": total_b, "linkcc_wall_seconds": round(wall_b, 2),
         "linkcc_triples_per_sec": round(total_b / wall_b, 1),
+        "linkcc_steal_pct": steal_b,
         "per_executor": results,
         "per_executor_linkcc": results_b,
     }
@@ -420,6 +443,10 @@ def main() -> None:
         "convert_walls_high": [r["wall_seconds"] for r in highs],
         "linkcc_walls_low": [r["linkcc_wall_seconds"] for r in lows],
         "linkcc_walls_high": [r["linkcc_wall_seconds"] for r in highs],
+        # hypervisor steal %% during each timed window: the direct
+        # neighbor-contention measurement for slow repeats
+        "steal_low": [r.get("steal_pct") for r in lows],
+        "steal_high": [r.get("steal_pct") for r in highs],
         "triples_low": low["triples"],
     }
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
@@ -499,14 +526,16 @@ extract/parse -> compiled mapping -> in-shard dedup -> count.
 
 ### Raw repeats (this invocation, same config)
 
-| level | convert walls (s) | link+CC walls (s) |
-|---|---|---|
-| N ({args.low}x{args.cores_per_exec}) | {', '.join(str(r['wall_seconds']) for r in lows)} | {', '.join(str(r['linkcc_wall_seconds']) for r in lows)} |
-| 4N ({args.high}x{args.cores_per_exec}) | {', '.join(str(r['wall_seconds']) for r in highs)} | {', '.join(str(r['linkcc_wall_seconds']) for r in highs)} |
+| level | convert walls (s) | steal % | link+CC walls (s) |
+|---|---|---|---|
+| N ({args.low}x{args.cores_per_exec}) | {', '.join(str(r['wall_seconds']) for r in lows)} | {', '.join(str(r.get('steal_pct')) for r in lows)} | {', '.join(str(r['linkcc_wall_seconds']) for r in lows)} |
+| 4N ({args.high}x{args.cores_per_exec}) | {', '.join(str(r['wall_seconds']) for r in highs)} | {', '.join(str(r.get('steal_pct')) for r in highs)} | {', '.join(str(r['linkcc_wall_seconds']) for r in highs)} |
 
 The corpus is faulted into the page cache before every timed level
-(`pretouch`), so no repeat differs by cold-read state; the residual
-spread is neighbor-tenant load on this shared VM.
+(`pretouch`), so no repeat differs by cold-read state.  "steal %" is
+hypervisor steal time (/proc/stat) during exactly that timed window —
+the direct measurement of neighbor-tenant contention on this shared
+box; a slow repeat with high steal is the host, not the pipeline.
 
 ### All recorded runs of this config (pooled above)
 
