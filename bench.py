@@ -195,6 +195,17 @@ def main() -> None:
     # projection, the exact-dedup keeper shuffle the only exchange
     timed("docs_clean_corpus", lambda: clean_corpus(docs).count())
 
+    # benchmark decontamination: broadcast the (tiny) eval-set gram
+    # table, single corpus scan + one per-doc count shuffle
+    from marc2rdf_spark.operators.dedup import decontaminate
+
+    timed(
+        "docs_decontaminate",
+        lambda: decontaminate(
+            docs, docs.filter(F.col("doc_id") % 50 == 0)
+        ).count(),
+    )
+
     # capped-pair observability for the minhash path (VERDICT r1 #6)
     from marc2rdf_spark.operators.dedup import (
         embedding_near_dups_lsh,

@@ -107,6 +107,48 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Benchmark decontamination — the standard pre-training hygiene
+    pass: for every training document, the fraction of its DISTINCT
+    word n-grams that occur anywhere in the evaluation/benchmark
+    corpus.  Returns (doc_id, n_grams, n_hit, contamination, flagged);
+    docs at/above ``threshold`` overlap are flagged for removal.
+
+    Spark plan for 100 TB: both sides explode to distinct n-grams; the
+    benchmark side (eval sets are MBs against a corpus of TBs) dedups
+    and BROADCASTS, so the corpus is scanned once with a map-side hash
+    probe and the only shuffle is the per-doc partial-aggregated count.
+    For a benchmark too large to broadcast, drop the hint and the same
+    plan degrades to a gram-keyed shuffle join."""
+    corpus = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), n)).alias("g")
+    )
+    bench = (
+        benchmark.select(F.explode(shingles(F.col("text"), n)).alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    scored = (
+        corpus.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )
+    frac = F.col("n_hit") / F.col("n_grams")
+    return scored.select(
+        "doc_id", "n_grams", "n_hit",
+        F.round(frac, 4).alias("contamination"),
+        (frac >= threshold).alias("flagged"),
+    )
+
+
 def _perm_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     import random
 

@@ -814,3 +814,27 @@ def test_connected_components_empty_and_self_loop(spark):
     )
     rows = connected_components(loops).collect()
     assert [(r.uri, r.component) for r in rows] == [("a", "a")]
+
+
+def test_decontaminate_flags_overlap(spark):
+    """A training doc that is a benchmark doc verbatim must score 1.0
+    and be flagged; a disjoint doc scores 0.0."""
+    from marc2rdf_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words appear in this sentence here"),
+            (3, "the quick brown fox jumps over something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate(docs, bench).collect()}
+    assert out[1].contamination == 1.0 and out[1].flagged
+    assert out[2].contamination == 0.0 and not out[2].flagged
+    # doc 3 shares the leading 3-grams but not the tail
+    assert 0.0 < out[3].contamination < 1.0
