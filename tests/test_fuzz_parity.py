@@ -26,21 +26,34 @@ from marc2rdf_spark.oracle.converter import convert_records
 
 CODES = "abcdefghijx03"
 TAGS = [
-    "015", "019", "020", "090", "100", "245", "260", "300", "440",
+    "015", "019", "020", "041", "090", "100", "245", "260", "300", "440",
     "500", "600", "650", "700", "850", "245",
 ]
 VALS = [
     "Det aller fineste", "Bache-Wiig, Anna", "82-10-04798-1", "",
     "a/b (c) [d]", "1975-", "n.", "32026400", "Ås, Bjørn", "x;y;z",
     "Nkr 269.00", "  spaced  ", "http://ex.com/x", "5", "ib.",
+    # 041-shaped language strings: clean triple groups, punctuation
+    # between groups (split keeps captures, strip cleans), short tails
+    "nobengswe", "nob,eng. swe", "no", "NOBENG",
 ]
 
 
 def _rand_record(rng: random.Random, i: int) -> Record:
     fields = [ControlField("001", f"F{i:06d}")]
     if rng.random() < 0.5:
+        # random LENGTH too: short 008s exercise the substr guard
+        # (offset+len beyond string -> no object), full-width ones
+        # exercise the whole position table (offsets 21-38: audience,
+        # periodica, literary format, bio content, language, script)
         fields.append(
-            ControlField("008", "".join(rng.choice("abc 01") for _ in range(20)))
+            ControlField(
+                "008",
+                "".join(
+                    rng.choice("abcdejnp 01")
+                    for _ in range(rng.randrange(0, 41))
+                ),
+            )
         )
     for _ in range(rng.randrange(1, 8)):
         subs = [
