@@ -157,6 +157,55 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Sequence packing for pre-training batch assembly: assign every
+    document a (bucket, bin) such that each bin holds a contiguous
+    token range of at most ``budget_tokens`` (documents longer than the
+    budget span multiple bins and continue mid-document — the standard
+    concat-and-chunk packing used when truncation at bin boundaries is
+    acceptable).  Returns (doc_id, bucket, start_tok, n_tokens, bin).
+
+    Scale design: packing is per-BUCKET (hash of doc_id), never global
+    — a single global ordering would funnel 100 TB through one window
+    partition.  Within a bucket the running token offset is one
+    window cumsum (partitionBy(bucket), so every bucket packs in
+    parallel) and bin = floor(start/budget).  Bucket count scales with
+    the corpus; bins are deterministic for a fixed (corpus, buckets,
+    budget)."""
+    from pyspark.sql.window import Window
+
+    # md5-derived bucket (60-bit prefix), not xxhash64: same idiom as
+    # winnow_fingerprints, chosen so the SQL oracle can replicate the
+    # bucket assignment value-for-value
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(n_buckets),
+    )
+    toks = docs.select(
+        "doc_id",
+        bucket.cast("int").alias("bucket"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = toks.withColumn(
+        "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return out.select(
+        "doc_id", "bucket", "start_tok", "n_tokens",
+        F.floor(F.col("start_tok") / budget_tokens).alias("bin"),
+    )
+
+
 def clean_corpus(
     docs: DataFrame,
     min_tokens: int = 20,

@@ -838,3 +838,27 @@ def test_decontaminate_flags_overlap(spark):
     assert out[2].contamination == 0.0 and not out[2].flagged
     # doc 3 shares the leading 3-grams but not the tail
     assert 0.0 < out[3].contamination < 1.0
+
+
+def test_pack_sequences_budget_and_continuity(spark):
+    """Within every bucket, token offsets are contiguous (no gaps/
+    overlaps in doc_id order) and bin boundaries land at multiples of
+    the budget."""
+    from marc2rdf_spark.operators.textstats import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (3 + i % 7))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    rows = pack_sequences(docs, budget_tokens=10, n_buckets=4).collect()
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert len(rows) == 40 and len(by_bucket) > 1
+    for bucket, rs in by_bucket.items():
+        rs.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rs:
+            assert r.start_tok == off, "offsets must be contiguous"
+            assert r.bin == r.start_tok // 10
+            off += r.n_tokens
