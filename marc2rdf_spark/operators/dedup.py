@@ -271,23 +271,24 @@ def lsh_cap_metrics(
     """Observability for the hot-bucket cap (VERDICT r1 #6): how many
     (doc, band) rows the ``max_bucket`` cap silently drops.  One extra
     aggregate over the banded signatures — run alongside the dedup job,
-    not inside it."""
-    from pyspark.sql.window import Window
+    not inside it.
 
+    Bucket SIZES are all the metric needs, so this is a
+    partial-aggregating groupBy count (capped = sum of max(size - cap,
+    0) per bucket), not the dedup join's row_number window — same
+    numbers, no per-bucket sort."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, hash_fn)
     banded = _banded_signatures(sig, bands, rows_per_band, hash_fn)
-    w = Window.partitionBy("band", "bucket").orderBy("doc_id")
-    row = (
-        banded.withColumn("rn", F.row_number().over(w))
-        .agg(
-            F.count("*").alias("banded_rows"),
-            F.sum((F.col("rn") > max_bucket).cast("long")).alias("capped_rows"),
-        )
-        .collect()[0]
-    )
+    sizes = banded.groupBy("band", "bucket").count()
+    row = sizes.agg(
+        F.sum("count").alias("banded_rows"),
+        F.sum(
+            F.greatest(F.col("count") - max_bucket, F.lit(0))
+        ).alias("capped_rows"),
+    ).collect()[0]
     return {
-        "banded_rows": row.banded_rows,
+        "banded_rows": row.banded_rows or 0,
         "capped_rows": row.capped_rows or 0,
     }
 

@@ -862,3 +862,17 @@ def test_pack_sequences_budget_and_continuity(spark):
             assert r.start_tok == off, "offsets must be contiguous"
             assert r.bin == r.start_tok // 10
             off += r.n_tokens
+
+
+def test_lsh_cap_metrics_counts_dropped_rows(spark):
+    """With identical documents every band bucket holds all docs, so a
+    cap of 2 must report (n_docs - 2) dropped rows per band."""
+    from marc2rdf_spark.operators.dedup import lsh_cap_metrics
+
+    docs = spark.createDataFrame(
+        [(i, "same exact text for every document here") for i in range(5)],
+        "doc_id long, text string",
+    )
+    m = lsh_cap_metrics(docs, num_hashes=8, bands=4, max_bucket=2)
+    assert m["banded_rows"] == 5 * 4
+    assert m["capped_rows"] == (5 - 2) * 4
