@@ -123,16 +123,27 @@ def find_record_strings(text: str) -> list[str]:
         if m.start() < last_end:  # inside a previously extended match
             continue
         prefix = re.escape(m.group(1))
-        open_re = re.compile(rf"<{prefix}record[\s>]")
+        # full open tag, so self-closing <record .../> can be excluded
+        # from the open count (it needs no close; counting it would
+        # extend past the true close and swallow the NEXT record)
+        open_re = re.compile(rf"<{prefix}record(?:\s[^>]*)?>")
         close_re = re.compile(rf"</{prefix}record\s*>")
+
+        def n_opens(lo: int, hi: int) -> int:
+            return sum(
+                1
+                for om in open_re.finditer(text, lo, hi)
+                if not om.group(0).endswith("/>")
+            )
+
         end = m.end()
-        opens = len(open_re.findall(text, m.start(), end))
+        opens = n_opens(m.start(), end)
         closes = len(close_re.findall(text, m.start(), end))
         while opens > closes:
             nxt = close_re.search(text, end)
             if nxt is None:  # unbalanced to EOF: keep the regex match
                 break
-            opens += len(open_re.findall(text, end, nxt.start()))
+            opens += n_opens(end, nxt.start())
             closes += 1
             end = nxt.end()
         out.append(text[m.start() : end])

@@ -117,8 +117,12 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     ok = None
     if planes:
         plane_dim = len(planes[0])
+        # NULL vectors pass through (signature 0, the pre-guard
+        # behavior): one null embedding row must not hard-fail the
+        # whole stage — only a real dimension mismatch is the caller
+        # error the assert exists for
         ok = F.assert_true(
-            F.size(vec) >= plane_dim,
+            vec.isNull() | (F.size(vec) >= plane_dim),
             F.lit(f"vector dim < plane dim {plane_dim}"),
         )
         vec = F.slice(vec, 1, plane_dim)

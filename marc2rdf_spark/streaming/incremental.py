@@ -212,17 +212,31 @@ def apply_tombstones_versioned(
     change this rule.
 
     Legacy rows with NULL batch_id (stores written before stamping, or
-    mixed-schema reads) coalesce to batch -1 = "before every
-    tombstone", reproducing the legacy unconditional-purge fallback
-    deterministically instead of reading nondeterministically.
+    mixed-schema reads) order as the PRE-STAMPING ERA: legacy triples
+    coalesce to batch -2 and legacy TOMBSTONES to -1, so a legacy
+    tombstone purges every legacy triple for its subject (the old
+    unconditional-purge fallback, now deterministic) while stamped
+    triples (batch >= 0) postdate it and survive; stamped tombstones
+    purge legacy triples as "before everything".  Both sides must be
+    coalesced — coalescing only the triple side would make a
+    NULL-batch tombstone's max(batch_id) NULL and silently purge
+    NOTHING, leaking exactly the deleted records the delete-wins rule
+    exists to suppress.
 
     Two broadcast left joins against the per-subject max tombstone
     batch — the tombstone set is tiny relative to the store, so no
     store-sized shuffle."""
     tomb_max = F.broadcast(
-        tombstones.groupBy("subj").agg(F.max("batch_id").alias("tb"))
+        tombstones.select(
+            "subj",
+            F.coalesce(F.col("batch_id"), F.lit(-1).cast("long")).alias(
+                "batch_id"
+            ),
+        )
+        .groupBy("subj")
+        .agg(F.max("batch_id").alias("tb"))
     )
-    batch = F.coalesce(F.col("batch_id"), F.lit(-1).cast("long"))
+    batch = F.coalesce(F.col("batch_id"), F.lit(-2).cast("long"))
     out = (
         triples.join(
             tomb_max.select(F.col("subj").alias("_ts"), F.col("tb").alias("_stb")),
@@ -257,8 +271,9 @@ def read_converted(spark: SparkSession, out_path: str) -> DataFrame:
     # must surface batch_id whenever ANY file carries it — the default
     # single-footer schema inference would make the versioned-vs-legacy
     # branch below depend on which file Spark sampled.  Legacy rows
-    # read NULL batch_id and resolve as "before every tombstone"
-    # (apply_tombstones_versioned coalesces to -1).
+    # read NULL batch_id and resolve as the pre-stamping era
+    # (apply_tombstones_versioned coalesces triples to -2 and
+    # tombstones to -1).
     triples = spark.read.option("mergeSchema", "true").parquet(out_path)
     try:
         tombs = spark.read.option("mergeSchema", "true").parquet(

@@ -128,3 +128,30 @@ def test_unbalanced_record_snippet_skipped_not_crashed():
         "<record><controlfield tag='001'>9</controlfield></record>"
     )
     assert ok is not None and ok.first_value("001") == "9"
+
+
+def test_self_closing_record_does_not_swallow_next():
+    """A self-closing <record .../> needs no close tag: counting it as
+    an open would extend the balance scan past the true close and
+    silently swallow the NEXT record (review r4 finding)."""
+    from marc2rdf_spark.marc import find_record_strings, parse_record_xml
+
+    env = (
+        "<OAI-PMH xmlns='http://www.openarchives.org/OAI/2.0/'>"
+        "<ListRecords>"
+        "<record><header status='deleted'>"
+        "<identifier>oai:x:1</identifier></header>"
+        "<metadata>"
+        "<record xmlns='info:lc/xmlns/marcxchange-v1' />"
+        "</metadata></record>"
+        "<record><header><identifier>oai:x:2</identifier></header>"
+        "<metadata>"
+        "<record xmlns='info:lc/xmlns/marcxchange-v1'>"
+        "<controlfield tag='001'>222</controlfield>"
+        "</record>"
+        "</metadata></record>"
+        "</ListRecords></OAI-PMH>"
+    )
+    blocks = find_record_strings(env)
+    assert len(blocks) == 2
+    assert parse_record_xml(blocks[1]).first_value("001") == "222"

@@ -191,3 +191,28 @@ def test_legacy_unstamped_rows_purge_deterministically(spark):
     out = apply_tombstones_versioned(triples, tombs)
     rows = {(r.subj, r.obj) for r in out.collect()}
     assert rows == {("s2", "o"), ("s1", "o2")}
+
+
+def test_legacy_unstamped_tombstone_still_purges(spark):
+    """Review r4 finding: a tombstone with NULL batch_id (legacy file
+    in a mixed store) must still purge the legacy triples of its
+    subject — coalescing only the triple side made max(batch_id) NULL
+    and the tombstone purged NOTHING, leaking the deleted record."""
+    from marc2rdf_spark.streaming.incremental import (
+        apply_tombstones_versioned,
+    )
+
+    triples = spark.createDataFrame(
+        [
+            ("s1", "p", "o", None),   # legacy triple, legacy tombstone
+            ("s1", "p", "o2", 3),     # stamped AFTER the legacy era
+            ("s2", "p", "o", None),   # no tombstone
+        ],
+        "subj string, pred string, obj string, batch_id long",
+    )
+    tombs = spark.createDataFrame(
+        [("s1", None)], "subj string, batch_id long"
+    )
+    out = apply_tombstones_versioned(triples, tombs)
+    rows = {(r.subj, r.obj) for r in out.collect()}
+    assert rows == {("s1", "o2"), ("s2", "o")}

@@ -59,6 +59,8 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _MEASURED_PATH_FILES = (
     "marc2rdf_spark/marc.py",
     "marc2rdf_spark/session.py",
+    "marc2rdf_spark/schema.py",
+    "marc2rdf_spark/config.py",
     "marc2rdf_spark/sources/extract.py",
     "marc2rdf_spark/sources/synth.py",
     "marc2rdf_spark/compiler/specs.py",
@@ -68,21 +70,31 @@ _MEASURED_PATH_FILES = (
     "marc2rdf_spark/functions/textsem.py",
     "marc2rdf_spark/operators/linking.py",
     "marc2rdf_spark/operators/components.py",
+    # the harness itself: protocol/timing changes are code changes for
+    # pooling purposes, even though report-prose edits also reset the
+    # pool — the conservative direction
     "tools/scaling_bench.py",
 )
 
 
 def measured_path_fingerprint() -> str:
-    """md5 over the measured-path sources (stable across unrelated
-    repo changes, unlike the git rev)."""
+    """md5 over the measured-path sources (stable across repo changes
+    OFF this list, unlike the git rev).  A missing file is a hard
+    error: silently skipping a renamed/typo'd entry would let a real
+    measured-path file drift out of the fingerprint and pool stale
+    walls as 'same code' — the exact bug this guard exists to stop."""
     import hashlib
 
     h = hashlib.md5()
     for rel in _MEASURED_PATH_FILES:
         p = os.path.join(HERE, rel)
-        if os.path.exists(p):
-            with open(p, "rb") as f:
-                h.update(f.read())
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"measured-path file missing: {rel} — update "
+                "_MEASURED_PATH_FILES to match the repo layout"
+            )
+        with open(p, "rb") as f:
+            h.update(f.read())
     return h.hexdigest()[:12]
 
 WORKER = r"""
