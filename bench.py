@@ -214,6 +214,12 @@ def main() -> None:
         lambda: pack_sequences(docs, budget_tokens=512, n_buckets=32).count(),
     )
 
+    # repetition gates: the heaviest curation op (tagged word+2gram
+    # explode stream, two map-side-combined shuffles)
+    from marc2rdf_spark.operators.curation import repetition_stats
+
+    timed("docs_repetition", lambda: repetition_stats(docs).count())
+
     # capped-pair observability for the minhash path (VERDICT r1 #6)
     from marc2rdf_spark.operators.dedup import (
         embedding_near_dups_lsh,
