@@ -46,3 +46,60 @@ def test_streaming_dedup_across_batches_and_restarts(spark, tmp_path):
     run_streaming_dedup(spark, docs, out, ckpt)
     got2 = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got2 == {1, 2, 5}  # 4 suppressed by state from run 1
+
+
+def test_windowed_counts_drop_late_rows(spark, tmp_path):
+    """Append-mode watermark semantics: once the watermark (delay 0 =
+    max ts seen) passes a window's end, the window is emitted ONCE and
+    a later-arriving row for it is dropped, not re-aggregated."""
+    from marc2rdf_spark.streaming.windows import run_windowed_counts
+
+    ev = str(tmp_path / "events")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ev)
+
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 0, 30)
+    # run 1: two events in hour 0, one in hour 1 -> watermark ends at
+    # the hour-1 event; hour-0 window finalizes and emits
+    write(
+        [
+            (1, t, 1, "click", 1.0, "{}"),
+            (2, t, 1, "click", 2.0, "{}"),
+            (3, dt.datetime(2024, 1, 1, 1, 45), 1, "click", 4.0, "{}"),
+        ]
+    )
+    run_windowed_counts(spark, ev, out, ckpt)
+    rows1 = {
+        (r.win_start, r.n, str(r.sum_value))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows1 == {(dt.datetime(2024, 1, 1, 0, 0), 2, "3.00")}
+
+    # run 2 (restart): a LATE row for the already-finalized hour-0
+    # window plus a fresh hour-2 event that closes hour 1
+    write(
+        [
+            (4, t, 1, "click", 100.0, "{}"),  # late: dropped
+            (5, dt.datetime(2024, 1, 1, 2, 5), 1, "click", 8.0, "{}"),
+        ]
+    )
+    run_windowed_counts(spark, ev, out, ckpt)
+    rows2 = {
+        (r.win_start, r.n, str(r.sum_value))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows2 == {
+        (dt.datetime(2024, 1, 1, 0, 0), 2, "3.00"),  # NOT re-emitted/+100
+        (dt.datetime(2024, 1, 1, 1, 0), 1, "4.00"),
+    }
