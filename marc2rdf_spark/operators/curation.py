@@ -30,8 +30,15 @@ PHONE_RE = r"\+[0-9][0-9 -]{6,}[0-9]"
 
 def _norm_words(text: Column) -> Column:
     """Whitespace-normalized lowercase word array; empty array for
-    blank text (split would yield [''])."""
-    norm = F.regexp_replace(F.lower(F.trim(text)), WS_SPLIT, " ")
+    blank text (split would yield ['']).
+
+    Normalize FIRST, then trim: Spark's ``trim`` strips only the space
+    character, so trimming the raw text leaves leading/trailing tabs
+    that normalization turns into boundary spaces — and the split then
+    counts a phantom '' word (caught by the randomized parity fuzz).
+    After ``\\s+`` -> ' ' every whitespace IS a space, so the trim is
+    exact."""
+    norm = F.trim(F.regexp_replace(F.lower(text), WS_SPLIT, " "))
     return F.when(norm == "", F.array().cast("array<string>")).otherwise(
         F.split(norm, " ")
     )
