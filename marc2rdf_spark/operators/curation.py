@@ -207,6 +207,68 @@ def mix_sample(
     )
 
 
+def boilerplate_score(
+    docs: DataFrame, min_doc_frac: float = 0.2
+) -> DataFrame:
+    """Corpus-level boilerplate signal (CCNet/RefinedWeb-style): a
+    2-gram is *boilerplate* when it appears in more than
+    ``min_doc_frac`` of all documents; each document's score is the
+    fraction of its 2-gram occurrences that are boilerplate grams.
+    Navigation chrome, cookie banners and shared templates saturate
+    the score; cleanup drops or de-weights high scorers.
+
+    Scale shape: gram -> document-frequency is one distinct +
+    partial-agg count keyed by gram; the join back to per-doc gram
+    occurrences is keyed by gram too, so it reuses the same hash
+    partitioning (no extra corpus re-shuffle beyond the per-doc fold).
+    The doc count is a broadcast scalar.  Returns
+    (doc_id, n_grams2, n_boiler, boiler_frac)."""
+    words = _norm_words(F.col("text"))
+    grams2 = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(
+            words,
+            F.least(F.lit(2), F.greatest(F.size(words), F.lit(1))),
+            F.greatest(F.size(words) - 1, F.lit(0)),
+        ),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    occ = docs.select("doc_id", F.explode(grams2).alias("gram"))
+    n_docs = docs.count()
+    df_tbl = (
+        occ.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > min_doc_frac * n_docs)
+        .select("gram", F.lit(True).alias("boiler"))
+    )
+    scored = (
+        occ.join(df_tbl, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams2"),
+            F.sum(
+                F.when(F.col("boiler"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_boiler"),
+        )
+    )
+    spine = docs.select("doc_id")
+    j = spine.join(scored, "doc_id", "left")
+    n2 = F.coalesce(F.col("n_grams2"), F.lit(0)).cast("double")
+    safe = F.when(n2 > 0, n2).otherwise(F.lit(1.0))
+    return j.select(
+        "doc_id",
+        n2.cast("long").alias("n_grams2"),
+        F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias(
+            "n_boiler"
+        ),
+        F.round(F.coalesce(F.col("n_boiler"), F.lit(0)) / safe, 4).alias(
+            "boiler_frac"
+        ),
+    )
+
+
 def ngram_counts(docs: DataFrame, k: int = 50) -> DataFrame:
     """Corpus-level 2-gram frequency table, top ``k`` by count with a
     deterministic (count desc, gram asc) tie-break — the LM-statistics

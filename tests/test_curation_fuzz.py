@@ -123,6 +123,30 @@ def test_mix_sample_fuzz(corpus):
         assert (doc_id in kept) == expect, doc_id
 
 
+def test_boilerplate_score_fuzz(corpus):
+    from marc2rdf_spark.operators.curation import boilerplate_score
+
+    rows, df = corpus
+    per_doc = {}
+    doc_freq: Counter = Counter()
+    for doc_id, text, _lang, _src in rows:
+        words = _norm_words(text)
+        grams = [f"{words[i]} {words[i + 1]}" for i in range(len(words) - 1)]
+        per_doc[doc_id] = grams
+        doc_freq.update(set(grams))
+    boiler = {g for g, c in doc_freq.items() if c > 0.2 * len(rows)}
+    got = {r.doc_id: r for r in boilerplate_score(df, 0.2).collect()}
+    assert len(got) == len(rows)
+    for doc_id, grams in per_doc.items():
+        nb = sum(1 for g in grams if g in boiler)
+        r = got[doc_id]
+        assert r.n_grams2 == len(grams)
+        assert r.n_boiler == nb
+        assert r.boiler_frac == (
+            _round4(nb / len(grams)) if grams else 0.0
+        )
+
+
 def test_ngram_counts_fuzz(corpus):
     from marc2rdf_spark.operators.curation import ngram_counts
 
