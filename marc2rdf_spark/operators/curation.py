@@ -138,9 +138,9 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t3 = F.regexp_replace(t2, PHONE_RE, "<PHONE>")
     return docs.select(
         "doc_id",
-        n_emails.alias("n_emails"),
-        n_ipv4.alias("n_ipv4"),
-        n_phones.alias("n_phones"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+        n_phones.cast("long").alias("n_phones"),
         t3.alias("clean_text"),
     )
 
@@ -182,7 +182,14 @@ def mix_sample(
     sampling is a single narrow projection + filter that pushes to the
     scan: zero shuffle, zero join, trivially scale-free.  md5-prefix
     arithmetic instead of xxhash64 so the SQL oracle replicates the
-    exact keep decision (same idiom as pack_sequences)."""
+    exact keep decision (same idiom as pack_sequences).
+
+    The keep cutoff is an exact INTEGER literal computed in Python
+    (int(round(rate * 10000))), never double arithmetic in the plan:
+    0.1 * 10000 in binary floating point is 1000.0000000000001, so a
+    double cut keeps h == 1000 while any engine comparing against the
+    integer 1000 drops it — a 1-in-10000-per-doc cross-engine parity
+    flake the integer cut removes by construction."""
     h = F.pmod(
         F.conv(
             F.substring(
@@ -195,12 +202,14 @@ def mix_sample(
         ).cast("long"),
         F.lit(10000),
     )
-    rate = F.lit(default_rate)
+    cut = F.lit(int(round(default_rate * 10000)))
     for code, r in rates.items():
-        rate = F.when(F.col("lang") == code, F.lit(r)).otherwise(rate)
+        cut = F.when(
+            F.col("lang") == code, F.lit(int(round(r * 10000)))
+        ).otherwise(cut)
     return (
         docs.select(
-            "doc_id", "lang", h.alias("h"), (rate * 10000).alias("cut")
+            "doc_id", "lang", h.alias("h"), cut.cast("long").alias("cut")
         )
         .filter(F.col("h") < F.col("cut"))
         .select("doc_id", "lang", "h")
@@ -221,7 +230,14 @@ def boilerplate_score(
     partial-agg count keyed by gram; the join back to per-doc gram
     occurrences is keyed by gram too, so it reuses the same hash
     partitioning (no extra corpus re-shuffle beyond the per-doc fold).
-    The doc count is a broadcast scalar.  Returns
+    The ``min_doc_frac`` threshold needs the total document count, and
+    that count comes FROM the gram aggregation itself, not a separate
+    corpus-scan job (VERDICT r4 #6): every document contributes one
+    NULL-gram sentinel row, so the aggregation's NULL-gram group has
+    df == n_docs exactly.  The aggregated gram table — already the
+    by-far-smallest frame in the plan, and needed by both the
+    threshold and the join-back — is localCheckpointed once so neither
+    consumer recomputes the corpus scan.  Returns
     (doc_id, n_grams2, n_boiler, boiler_frac)."""
     words = _norm_words(F.col("text"))
     grams2 = F.zip_with(
@@ -233,21 +249,37 @@ def boilerplate_score(
         ),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    occ = docs.select("doc_id", F.explode(grams2).alias("gram"))
-    n_docs = docs.count()
-    df_tbl = (
+    # one NULL sentinel per document rides the same explode stream:
+    # its df in the gram aggregation IS the corpus document count
+    occ = docs.select(
+        "doc_id",
+        F.explode(
+            F.concat(grams2, F.array(F.lit(None).cast("string")))
+        ).alias("gram"),
+    )
+    df_all = (
         occ.select("doc_id", "gram")
         .distinct()
         .groupBy("gram")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > min_doc_frac * n_docs)
+        .localCheckpoint(eager=True)
+    )
+    n_docs_row = df_all.filter(F.col("gram").isNull()).select(
+        F.col("df").alias("n_docs")
+    )
+    df_tbl = (
+        df_all.filter(F.col("gram").isNotNull())
+        .crossJoin(F.broadcast(n_docs_row))
+        .filter(F.col("df") > min_doc_frac * F.col("n_docs"))
         .select("gram", F.lit(True).alias("boiler"))
     )
     scored = (
         occ.join(df_tbl, "gram", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_grams2"),
+            # count("gram") skips NULLs: the sentinel row never counts
+            # toward the document's 2-gram occurrences
+            F.count("gram").alias("n_grams2"),
             F.sum(
                 F.when(F.col("boiler"), F.lit(1)).otherwise(F.lit(0))
             ).alias("n_boiler"),

@@ -67,8 +67,11 @@ def exact_duplicates(docs: DataFrame, sample_ids: int = 20) -> DataFrame:
 
 
 def duplicate_drop_list(docs: DataFrame) -> DataFrame:
-    """(doc_id, keep_id, fp) for every document that should be DROPPED
-    by exact dedup (i.e. every group member except its keeper).
+    """(doc_id, keep_id, fp, n_docs) for every document that should be
+    DROPPED by exact dedup (i.e. every group member except its keeper);
+    ``n_docs`` is the duplicate group's size, carried through from the
+    keeper aggregation so one result surface pins both the group stats
+    (the ``exact_duplicates`` contract) and the join-back membership.
 
     Scale path for the drop-list: re-joins the per-doc fingerprints
     against the winning (fp, keep_id) groups instead of materializing
@@ -82,12 +85,12 @@ def duplicate_drop_list(docs: DataFrame) -> DataFrame:
         withfp.groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
-        .select("fp", "keep_id")
+        .select("fp", "keep_id", "n_docs")
     )
     return (
         withfp.join(keepers, "fp")
         .filter(F.col("doc_id") != F.col("keep_id"))
-        .select("doc_id", "keep_id", "fp")
+        .select("doc_id", "keep_id", "fp", "n_docs")
     )
 
 
@@ -394,9 +397,9 @@ def simhash_near_dups(
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.select("a", "b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
-    )
+    return pairs.select(
+        "a", "b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 # ---------------------------------------------------------------------------

@@ -82,7 +82,12 @@ def brute_force_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", F.round("sim", 4).alias("sim"), "rank")
+        .select(
+            "q_id",
+            "n_id",
+            F.round("sim", 4).alias("sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
     )
 
 
@@ -297,7 +302,12 @@ def _rerank_pairs(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", F.round("sim", 4).alias("sim"), "rank")
+        .select(
+            "q_id",
+            "n_id",
+            F.round("sim", 4).alias("sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
     )
 
 

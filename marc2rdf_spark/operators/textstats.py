@@ -33,11 +33,13 @@ def bpe_token_count(text: Column) -> Column:
 
 
 def doc_tokens(docs: DataFrame) -> DataFrame:
+    # counts pinned to long: every ANSI engine's count arithmetic is
+    # BIGINT, so the cross-engine contract type is bigint end-to-end
     return docs.select(
         "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        bpe_token_count(F.col("text")).alias("n_tokens_bpe"),
-        F.length("text").alias("len_chars"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("n_tokens_bpe"),
+        F.length("text").cast("long").alias("len_chars"),
     )
 
 
@@ -117,7 +119,77 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     text (stable content hash for exact-dup detection across formatting)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), WS_SPLIT, " ")
     return docs.select(
-        "doc_id", F.md5(norm).alias("fp"), F.length(norm).alias("norm_len")
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+def text_features(docs: DataFrame) -> DataFrame:
+    """All per-document text statistics in ONE narrow projection: the
+    union of ``doc_tokens`` + ``quality_features`` + ``lang_id`` +
+    ``fingerprint`` column sets.  Production pipelines call the
+    individual operators (each already a zero-shuffle projection); this
+    composition exists so one contract row value-verifies all four
+    operator families side-by-side — same plan shape (one scan, one
+    projection, no exchange), just a wider select list.
+
+    Returns (doc_id, n_tokens, n_tokens_bpe, len_chars, alpha_ratio,
+    digit_ratio, punct_ratio, upper_ratio, mean_token_len, hits_<code>
+    per language, lang_pred, fp, norm_len)."""
+    text = F.col("text")
+    total = F.length(text).cast("double")
+    safe_total = F.when(total > 0, total).otherwise(F.lit(1.0))
+    ntok = token_count(text).cast("double")
+    norm = F.regexp_replace(F.lower(F.trim(text)), WS_SPLIT, " ")
+    codes = list(LANG_MARKERS)
+    hit_cols = [
+        _marker_hits(text, ws).alias(f"hits_{code}")
+        for code, ws in LANG_MARKERS.items()
+    ]
+    best = F.greatest(
+        *[_marker_hits(text, LANG_MARKERS[c]) for c in codes]
+    )
+    pred = F.lit("und")
+    for c in reversed(codes):  # earlier codes win ties
+        pred = F.when(
+            (best > 0) & (_marker_hits(text, LANG_MARKERS[c]) == best),
+            F.lit(c),
+        ).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        token_count(text).cast("long").alias("n_tokens"),
+        bpe_token_count(text).cast("long").alias("n_tokens_bpe"),
+        F.length(text).cast("long").alias("len_chars"),
+        F.round(
+            F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+            / safe_total,
+            4,
+        ).alias("alpha_ratio"),
+        F.round(
+            F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double")
+            / safe_total,
+            4,
+        ).alias("digit_ratio"),
+        F.round(
+            F.length(
+                F.regexp_replace(text, r"[^.,;:!?'\"()\[\]-]", "")
+            ).cast("double")
+            / safe_total,
+            4,
+        ).alias("punct_ratio"),
+        F.round(
+            F.length(F.regexp_replace(text, "[^A-Z]", "")).cast("double")
+            / safe_total,
+            4,
+        ).alias("upper_ratio"),
+        F.round(
+            F.when(ntok > 0, total / ntok).otherwise(F.lit(0.0)), 4
+        ).alias("mean_token_len"),
+        *hit_cols,
+        pred.alias("lang_pred"),
+        F.md5(norm).alias("fp"),
+        F.length(norm).cast("long").alias("norm_len"),
     )
 
 
@@ -189,7 +261,9 @@ def pack_sequences(
     )
     toks = docs.select(
         "doc_id",
-        bucket.cast("int").alias("bucket"),
+        # long, not int: the md5-prefix arithmetic is BIGINT in every
+        # ANSI engine, so the pinned output type is bigint end-to-end
+        bucket.cast("long").alias("bucket"),
         token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
     w = (
@@ -281,7 +355,7 @@ def clean_corpus(
 
     raw = docs.select(
         "doc_id",
-        token_count(text).alias("n_tokens"),
+        token_count(text).cast("long").alias("n_tokens"),
         alpha_ratio.alias("alpha_ratio"),
         digit_ratio.alias("digit_ratio"),
         pred.alias("lang_pred"),

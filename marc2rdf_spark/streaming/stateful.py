@@ -58,9 +58,20 @@ def _dedup_group(
     state: "GroupState",
 ) -> Iterator["pd.DataFrame"]:
     """Emit the first-seen (doc_id, fp) per fingerprint; the seen set
-    persists in the state store between micro-batches."""
+    persists in the state store between micro-batches.
+
+    All Arrow chunks for the group are concatenated BEFORE the
+    sort/dedup: a group whose micro-batch spans multiple chunks must
+    still resolve ties by smallest doc_id across the whole batch, not
+    by chunk-arrival order — per-chunk dedup would break the documented
+    "smallest doc_id wins" determinism once per-bucket batch size
+    exceeds the Arrow batch size."""
+    import pandas as pd
+
     seen = set(state.get[0]) if state.exists else set()
-    for pdf in pdfs:
+    chunks = list(pdfs)
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
         # within-batch order: smallest doc_id wins, deterministically
         pdf = pdf.sort_values("doc_id")
         fresh = pdf[~pdf["fp"].isin(seen)].drop_duplicates(

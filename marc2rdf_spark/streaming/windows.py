@@ -38,7 +38,16 @@ def windowed_event_counts(
     With ``watermark`` = "0 seconds" the watermark equals the max event
     time seen, so after an availableNow pass every window that ENDED at
     or before the stream's max ts is finalized and emitted; the
-    still-open last window stays in state (append-mode semantics)."""
+    still-open last window stays in state (append-mode semantics).
+
+    Output types are pinned deliberately: ``win_start`` is epoch
+    SECONDS (bigint) — a timestamp column written by the streaming
+    parquet sink round-trips as a UTC-adjusted Arrow timestamp, which
+    no session-naive engine reproduces bit-for-bit, while an epoch
+    integer is representation-free; ``sum_value`` is cast to the
+    widest decimal(38,2) so the sum's declared type does not depend on
+    the engine's decimal-widening rule (Spark sum(decimal(12,2)) is
+    decimal(22,2), ANSI SQL engines commonly widen to 38)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")
@@ -47,10 +56,10 @@ def windowed_event_counts(
             F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
         )
         .select(
-            F.col("window.start").alias("win_start"),
+            F.col("window.start").cast("long").alias("win_start"),
             "event_type",
             "n",
-            "sum_value",
+            F.col("sum_value").cast("decimal(38,2)").alias("sum_value"),
         )
     )
 

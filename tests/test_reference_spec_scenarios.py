@@ -302,6 +302,44 @@ SKELETON_RECORD = (
     '<subfield code="3">12345</subfield>'
     '<subfield code="t">Ringenes Herre</subfield>'
     '<subfield code="1">946.2</subfield></datafield>'
+    # --- round-5 widening: the remaining 6XX relation-block families
+    # (mapping_skeleton.json '610|611', '630', '651', '652', '655',
+    # '695', '699' — tags chosen to have NO colliding duplicate key, so
+    # each field exercises exactly one rule) ---
+    '<datafield tag="610" ind1=" " ind2=" ">'
+    '<subfield code="3">77001</subfield>'
+    '<subfield code="a">Norsk Forening</subfield>'
+    '<subfield code="b">Oslo avd</subfield>'
+    '<subfield code="q">NF</subfield>'
+    '<subfield code="c">Bergen</subfield>'
+    '<subfield code="d">1999</subfield>'
+    '<subfield code="n">4</subfield>'
+    '<subfield code="1">340.1</subfield></datafield>'
+    '<datafield tag="630" ind1=" " ind2=" ">'
+    '<subfield code="3">63001</subfield>'
+    '<subfield code="a">Bibelen</subfield>'
+    '<subfield code="p">GT</subfield>'
+    '<subfield code="x">Historie</subfield>'
+    '<subfield code="1">220</subfield></datafield>'
+    '<datafield tag="651" ind1=" " ind2=" ">'
+    '<subfield code="3">65101</subfield>'
+    '<subfield code="a">Norge?[]</subfield>'
+    '<subfield code="1">948.1</subfield></datafield>'
+    '<datafield tag="652" ind1=" " ind2=" ">'
+    '<subfield code="3">65201</subfield>'
+    '<subfield code="a">Jazz</subfield></datafield>'
+    '<datafield tag="655" ind1=" " ind2=" ">'
+    '<subfield code="3">65501</subfield>'
+    '<subfield code="a">Krim</subfield>'
+    '<subfield code="x">Noir</subfield></datafield>'
+    '<datafield tag="695" ind1=" " ind2=" ">'
+    '<subfield code="a">Sci Fi Romaner</subfield>'
+    '<subfield code="1">001.1</subfield></datafield>'
+    '<datafield tag="699" ind1=" " ind2=" ">'
+    '<subfield code="3">69901</subfield>'
+    '<subfield code="a">Handel</subfield>'
+    '<subfield code="q">Historie</subfield>'
+    '<subfield code="1">910.4</subfield></datafield>'
     "</record>"
 )
 
@@ -377,6 +415,95 @@ SKELETON_EXPECTED = [
      True, None, None),
     (PERSON, SKOS + "notation", "946.2", False, None, None),
     (PERSON, DC + "identifier", "12345", False, None, None),
+]
+
+# --- round-5 widening: remaining 6XX relation-block families, each
+# expectation derived BY HAND from mapping_skeleton.json's rule plus
+# rdfmodeler.rb's generate_objects order (split -> substitute ->
+# combine -> strip -> urlize, :69-135) and relation emission
+# (:244-276): the parent subfield mints one URI per generated object,
+# asserts (record, predicate, uri), types it with relation.class, and
+# every relation subfield emits per generated relobject with the
+# relsub's own lang/datatype.
+FOAF = "http://xmlns.com/foaf/0.1/"
+ORG = DEICH + "organization/x77001"
+WORK630 = DEICH + "work/x63001"
+GEO = DEICH + "geographicalSubject/x65101"
+MOGENRE = DEICH + "mogenre/x65201"
+GENRE655 = DEICH + "genre/x65501"
+CTAG = "http://commontag.org/ns#"
+SUBJ699 = DEICH + "subject/handel_historie"
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+
+SKELETON_EXPECTED += [
+    # --- 610 ('610|611'): organization subject; FOAF.name combines
+    # [a, b, q] with '. '; conference subfields are plain literals ---
+    (S, DC + "subject", ORG, True, None, None),
+    (ORG, RDF_TYPE, FOAF + "Organization", True, None, None),
+    (ORG, FOAF + "name", "Norsk Forening. Oslo avd. NF",
+     False, None, None),
+    (ORG, DEICH + "conferencePlace", "Bergen", False, None, None),
+    (ORG, DEICH + "conferenceDate", "1999", False, None, None),
+    (ORG, DEICH + "corporationNumber", "4", False, None, None),
+    (ORG, SKOS + "notation", "340.1", False, None, None),
+    (ORG, DC + "identifier", "77001", False, None, None),
+    # --- 630: uniform-title work subject; DC.title combines [a, p, x]
+    # with '. ' ---
+    (S, DC + "subject", WORK630, True, None, None),
+    (WORK630, RDF_TYPE, "http://purl.org/spar/fabio/Work",
+     True, None, None),
+    (WORK630, DC + "title", "Bibelen. GT. Historie", False, None, None),
+    (WORK630, SKOS + "notation", "220", False, None, None),
+    (WORK630, DC + "identifier", "63001", False, None, None),
+    # --- 651: geographical subject; GEONAMES.name strips
+    # [\?\[\]\<\>]+ ('Norge?[]' -> 'Norge') and carries lang no ---
+    (S, DEICH + "geographicalSubject", GEO, True, None, None),
+    (GEO, RDF_TYPE, "http://www.geonames.org/ontology#Feature",
+     True, None, None),
+    (GEO, "http://www.geonames.org/ontology#name", "Norge",
+     False, "no", None),
+    (GEO, SKOS + "notation", "948.1", False, None, None),
+    (GEO, DC + "identifier", "65101", False, None, None),
+    # --- 652: music genre (MO) ---
+    (S, "http://purl.org/ontology/mo/genre", MOGENRE, True, None, None),
+    (MOGENRE, RDF_TYPE, "http://purl.org/ontology/mo/Genre",
+     True, None, None),
+    (MOGENRE, RDFS_LABEL, "Jazz", False, "no", None),
+    (MOGENRE, DC + "identifier", "65201", False, None, None),
+    # --- 655: literary genre; RDFS.label combines [a, x] ' - ' ---
+    (S, "http://dbpedia.org/ontology/literaryGenre", GENRE655,
+     True, None, None),
+    (GENRE655, RDF_TYPE, "http://dbpedia.org/class/yago/LiteraryGenres",
+     True, None, None),
+    (GENRE655, RDFS_LABEL, "Krim - Noir", False, "no", None),
+    (GENRE655, DC + "identifier", "65501", False, None, None),
+    # --- 695: $a regex_split ' ' -> one keyword URI PER WORD (strip
+    # then urlize downcases), and the relation block fires per URI with
+    # the FULL $a as its label (relation subfields re-generate from the
+    # datafield, not from the split token) ---
+    (S, CTAG + "tagged", DEICH + "keyword/sci", True, None, None),
+    (S, CTAG + "tagged", DEICH + "keyword/fi", True, None, None),
+    (S, CTAG + "tagged", DEICH + "keyword/romaner", True, None, None),
+    (DEICH + "keyword/sci", RDF_TYPE, CTAG + "Tag", True, None, None),
+    (DEICH + "keyword/fi", RDF_TYPE, CTAG + "Tag", True, None, None),
+    (DEICH + "keyword/romaner", RDF_TYPE, CTAG + "Tag",
+     True, None, None),
+    (DEICH + "keyword/sci", CTAG + "label", "Sci Fi Romaner",
+     False, "no", None),
+    (DEICH + "keyword/fi", CTAG + "label", "Sci Fi Romaner",
+     False, "no", None),
+    (DEICH + "keyword/romaner", CTAG + "label", "Sci Fi Romaner",
+     False, "no", None),
+    (DEICH + "keyword/sci", SKOS + "notation", "001.1",
+     False, None, None),
+    # --- 699: parent URI from combine [a, q, x, 0] '_' + strip +
+    # urlize ('Handel_Historie' -> 'handel_historie'); prefLabel
+    # combines the same subfields with ' - ' ---
+    (S, DEICH + "bibsubject", SUBJ699, True, None, None),
+    (SUBJ699, RDF_TYPE, SKOS + "Concept", True, None, None),
+    (SUBJ699, SKOS + "prefLabel", "Handel - Historie", False, "no", None),
+    (SUBJ699, SKOS + "notation", "910.4", False, None, None),
+    (SUBJ699, DC + "identifier", "69901", False, None, None),
 ]
 
 

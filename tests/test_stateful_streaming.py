@@ -80,11 +80,15 @@ def test_windowed_counts_drop_late_rows(spark, tmp_path):
         ]
     )
     run_windowed_counts(spark, ev, out, ckpt)
+    # win_start is epoch SECONDS (bigint): the sink type is pinned so
+    # the cross-engine oracle never sees tz-adjusted parquet timestamps
+    h0 = int(dt.datetime(2024, 1, 1, 0, 0, tzinfo=dt.timezone.utc).timestamp())
+    h1 = int(dt.datetime(2024, 1, 1, 1, 0, tzinfo=dt.timezone.utc).timestamp())
     rows1 = {
         (r.win_start, r.n, str(r.sum_value))
         for r in spark.read.parquet(out).collect()
     }
-    assert rows1 == {(dt.datetime(2024, 1, 1, 0, 0), 2, "3.00")}
+    assert rows1 == {(h0, 2, "3.00")}
 
     # run 2 (restart): a LATE row for the already-finalized hour-0
     # window plus a fresh hour-2 event that closes hour 1
@@ -100,6 +104,6 @@ def test_windowed_counts_drop_late_rows(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert rows2 == {
-        (dt.datetime(2024, 1, 1, 0, 0), 2, "3.00"),  # NOT re-emitted/+100
-        (dt.datetime(2024, 1, 1, 1, 0), 1, "4.00"),
+        (h0, 2, "3.00"),  # NOT re-emitted/+100
+        (h1, 1, "4.00"),
     }
