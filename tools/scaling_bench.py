@@ -97,6 +97,81 @@ def measured_path_fingerprint() -> str:
             h.update(f.read())
     return h.hexdigest()[:12]
 
+
+# The bench sections that define the MEASUREMENT PROTOCOL: the worker
+# program every emulated executor runs (what is timed), corpus
+# synthesis, the page-cache pre-fault, the /proc/stat steal reader and
+# the process-launch/barrier/timing harness.  Reporting, pooling and
+# prose live outside these sections — editing them must not invalidate
+# previously measured walls, while editing anything that could move a
+# wall must.
+_MEASURED_BENCH_SECTIONS = (
+    "WORKER", "write_corpus", "pretouch", "_cpu_times", "run_level",
+)
+
+
+def bench_measured_source(source: str) -> str:
+    """Concatenated source segments of the measurement-protocol
+    sections, extracted by name from this file's source via ast so the
+    extraction is reproducible against ANY historical revision of the
+    file (the backfill tool applies it to `git show rev:...` text).
+    Raises if a section is missing: silently hashing fewer sections
+    would let protocol code drift out of the fingerprint."""
+    import ast
+
+    tree = ast.parse(source)
+    segs = {}
+    for node in tree.body:
+        name = None
+        if isinstance(node, ast.FunctionDef):
+            name = node.name
+        elif (
+            isinstance(node, ast.Assign)
+            and len(node.targets) == 1
+            and isinstance(node.targets[0], ast.Name)
+        ):
+            name = node.targets[0].id
+        if name in _MEASURED_BENCH_SECTIONS:
+            segs[name] = ast.get_source_segment(source, node)
+    missing = [n for n in _MEASURED_BENCH_SECTIONS if n not in segs]
+    if missing:
+        raise RuntimeError(
+            f"measured bench sections missing from source: {missing}"
+        )
+    return "\n".join(segs[n] for n in _MEASURED_BENCH_SECTIONS)
+
+
+_PIPELINE_FILES = tuple(
+    f for f in _MEASURED_PATH_FILES if f != "tools/scaling_bench.py"
+)
+
+
+def measured_protocol_fingerprint() -> str:
+    """md5 over (a) the pipeline sources the bench executes and (b)
+    the bench's own measurement-protocol sections.  Unlike
+    measured_path_fingerprint (which conservatively hashes this whole
+    file, so a reporting-prose edit orphans every previously measured
+    wall), this fingerprint changes exactly when something that can
+    MOVE a wall changes.  Both are recorded per run; pooling filters
+    on this one.  tools/backfill_measured_fp.py recomputes it for
+    historical runs from `git show <rev>:<file>`, so pool membership
+    of an old run is independently verifiable."""
+    import hashlib
+
+    h = hashlib.md5()
+    for rel in _PIPELINE_FILES:
+        p = os.path.join(HERE, rel)
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"measured-path file missing: {rel} — update "
+                "_MEASURED_PATH_FILES to match the repo layout"
+            )
+        with open(p, "rb") as f:
+            h.update(f.read())
+    with open(os.path.abspath(__file__), "r") as f:
+        h.update(bench_measured_source(f.read()).encode())
+    return h.hexdigest()[:12]
+
 WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
@@ -473,10 +548,12 @@ def main() -> None:
     except Exception:
         pass
     code_fp = measured_path_fingerprint()
+    measured_fp = measured_protocol_fingerprint()
     record = {
         "ts": dt.datetime.now().isoformat(timespec="seconds"),
         "git_rev": rev,
         "code_fp": code_fp,
+        "measured_fp": measured_fp,
         "tainted": tainted,
         "pages": args.pages, "low": args.low, "high": args.high,
         "cores_per_exec": args.cores_per_exec,
@@ -500,12 +577,19 @@ def main() -> None:
             if (r["pages"], r["low"], r["high"], r["cores_per_exec"]) == (
                 args.pages, args.low, args.high, args.cores_per_exec
             ):
-                # pool ONLY runs of the current measured-path code:
-                # mixing walls from older code would publish an
-                # efficiency never measured on this revision.  Tainted
-                # runs (noise-episode signature) stay out of the pool
-                # too — their walls measure the host, not the code.
-                if r.get("code_fp") == code_fp and not r.get("tainted"):
+                # pool ONLY runs whose measurement could not differ
+                # from this revision's: identical pipeline sources AND
+                # identical bench measurement-protocol sections
+                # (measured_fp; backfilled for historical runs from
+                # git by tools/backfill_measured_fp.py — reporting/
+                # pooling edits to this file do not orphan real walls,
+                # anything that can move a wall does).  Tainted runs
+                # (noise-episode signature) stay out of the pool too —
+                # their walls measure the host, not the code.
+                if (
+                    r.get("measured_fp") == measured_fp
+                    and not r.get("tainted")
+                ):
                     pooled.append(r)
                 else:
                     stale.append(r)
@@ -557,9 +641,18 @@ extract/parse -> compiled mapping -> in-shard dedup -> count.
 - link+CC tail speedup N -> 4N: **{speedup_b:.2f}x**,
   **scaling efficiency {efficiency_b:.2f}**
 - **pooled across all {len(pooled)} recorded same-config, same-code
-  runs** (BENCH/scaling_runs.jsonl — every run's raw walls + git rev +
-  measured-path fingerprint `{code_fp}`; {len(stale)} same-config runs
-  of OLDER code are in the log but excluded from the pool): best N
+  runs** (BENCH/scaling_runs.jsonl — every run's raw walls + git rev;
+  pool membership = identical measurement fingerprint
+  `{measured_fp}` = md5 over the 13 pipeline sources the bench
+  executes + the bench's own measurement-protocol sections (WORKER
+  program, corpus synthesis, pretouch, steal reader, launch/timing
+  harness), so a run pools iff nothing that could move a wall
+  differs; recomputed for historical runs from `git show` by
+  `tools/backfill_measured_fp.py` and independently checkable the
+  same way.  The stricter whole-harness fingerprint is also recorded
+  per run as `code_fp` (this rev: `{code_fp}`).  {len(stale)}
+  same-config runs of OTHER measured code/protocol are in the log but
+  excluded from the pool): best N
   wall {pool_low} s, best 4N wall {pool_high} s ->
   **efficiency {pool_eff:.2f}**.
   Pooling is the same best-of rule applied across invocations: on this
