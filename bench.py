@@ -82,8 +82,16 @@ def main() -> None:
             extra[f"{name}_steal_pct"] = steals
             # noise self-flag: repeats of IDENTICAL work >1.5x apart is
             # the documented neighbor-tenant episode signature on this
-            # box (steal%% can read 0 during them — bandwidth, not cpu)
-            if max(samples) / max(min(samples), 1e-9) > 1.5:
+            # box (steal%% can read 0 during them — bandwidth, not cpu).
+            # With >=3 repeats the FIRST sample is excluded from the
+            # spread test: it systematically carries the one-time
+            # whole-stage-codegen compile for the full-scale plan
+            # (measured ~1.5x on quiet hours: 15.9 vs 10.5, 14.1 vs
+            # 9.0), which would flag every single run and drown the
+            # real episode signal. The published raw samples still
+            # include it.
+            probe = samples[1:] if repeats >= 3 else samples
+            if max(probe) / max(min(probe), 1e-9) > 1.5:
                 extra.setdefault("noise_suspect", []).append(name)
         return out
 
