@@ -50,7 +50,12 @@ def main() -> None:
     if args.synth_pages:
         pages = synth_web_pages(spark, args.synth_pages)
     elif args.pages:
-        pages = spark.read.parquet(args.pages)
+        from marc2rdf_spark.sources.catalog import read_table
+
+        # parquet path in the sandbox; iceberg:<cat.db.table> /
+        # table:<ident> resolve through the session catalog on a real
+        # cluster (snapshot isolation + hidden-partition pruning)
+        pages = read_table(spark, args.pages)
     else:
         ap.error("need --pages or --synth-pages")
 

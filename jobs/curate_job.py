@@ -74,7 +74,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     t0 = time.time()
 
-    docs = spark.read.parquet(args.docs)
+    from marc2rdf_spark.sources.catalog import read_table
+
+    docs = read_table(spark, args.docs)
     n_in = docs.count()
 
     if args.block:

@@ -553,3 +553,315 @@ def test_skeleton_negative_expectations(skeleton_triples):
         s == LEXVO + "ger" and p == RDF_TYPE
         for (s, p, *_rest) in skeleton_triples
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 widening #2: the remaining non-6XX rule families of
+# mapping_skeleton.json, each expectation derived BY HAND from the
+# rule JSON plus rdfmodeler.rb's documented pipeline order
+# (regex_split -> regex_substitute -> combine -> regex_strip -> urlize,
+# :69-135), relation emission (:244-276), the predicate-nil guard for
+# conditions with no default (:177-199), and colliding-tag-key
+# semantics (:155).  Subfield values are chosen so every strip/urlize
+# step has exactly one unambiguous reading.
+
+SKELETON2_RECORD = (
+    '<record xmlns="info:lc/xmlns/marcxchange-v1">'
+    "<leader>00000nam</leader>"
+    '<controlfield tag="001">900002</controlfield>'
+    # 100: person main entry w/ full relation block incl. $j split
+    '<datafield tag="100" ind1=" " ind2=" ">'
+    '<subfield code="3">13579</subfield>'
+    '<subfield code="a">Tolkien, J.R.R.</subfield>'
+    '<subfield code="q">John</subfield>'
+    '<subfield code="c">prof.</subfield>'
+    '<subfield code="d">1892-1973</subfield>'
+    '<subfield code="j">eng-brit</subfield>'
+    '<subfield code="1">82.3</subfield></datafield>'
+    # 245 (trailing-punct strips) + colliding 245|245 (urlized title)
+    '<datafield tag="245" ind1=" " ind2=" ">'
+    '<subfield code="a">Hobbiten:</subfield>'
+    '<subfield code="b">eller dit og tilbake/</subfield>'
+    '<subfield code="c">oversatt av NN;</subfield>'
+    '<subfield code="p">Del 1.</subfield>'
+    '<subfield code="n">1</subfield></datafield>'
+    # 246: combine [a, b] w/ '. ' on $a; $b also fires alone
+    '<datafield tag="246" ind1=" " ind2=" ">'
+    '<subfield code="a">Hobbiten</subfield>'
+    '<subfield code="b">En reise.</subfield></datafield>'
+    '<datafield tag="250" ind1=" " ind2=" ">'
+    '<subfield code="a">2. utg.</subfield></datafield>'
+    # 300 $a: the \s*s[.\s]*$ pagination strip
+    '<datafield tag="300" ind1=" " ind2=" ">'
+    '<subfield code="a">312 s.</subfield></datafield>'
+    # 260: urlized place/publisher URIs + their literal relations
+    '<datafield tag="260" ind1=" " ind2=" ">'
+    '<subfield code="a">Oslo</subfield>'
+    '<subfield code="b">Aschehoug &amp; Co</subfield>'
+    '<subfield code="c">[1997?]</subfield></datafield>'
+    # 440: series relation block + $v outside it
+    '<datafield tag="440" ind1=" " ind2=" ">'
+    '<subfield code="3">44001</subfield>'
+    '<subfield code="a">Ringenes herre-serien:</subfield>'
+    '<subfield code="x">0333-1234</subfield>'
+    '<subfield code="v">2</subfield>'
+    '<subfield code="c">av JRRT/</subfield>'
+    '<subfield code="p">Bind.</subfield></datafield>'
+    # 130 ('130|730'): non-urlized work URI keeps case + dash
+    '<datafield tag="130" ind1=" " ind2=" ">'
+    '<subfield code="3">Bibelen-GT</subfield>'
+    '<subfield code="a">Bibelen</subfield>'
+    '<subfield code="p">Gamle testamentet</subfield>'
+    '<subfield code="1">221</subfield></datafield>'
+    # 700 with $e role -> substituted predicate
+    '<datafield tag="700" ind1=" " ind2=" ">'
+    '<subfield code="3">24680</subfield>'
+    '<subfield code="a">Andersen, Nina</subfield>'
+    '<subfield code="e">overs</subfield>'
+    '<subfield code="b">d.y.</subfield>'
+    '<subfield code="d">1950-</subfield></datafield>'
+    # 700 with $t: BOTH '700' (contributor default) and '700|700'
+    # (hasPart work) fire on the same field
+    '<datafield tag="700" ind1=" " ind2=" ">'
+    '<subfield code="3">11111</subfield>'
+    '<subfield code="a">Tolkien, J.R.R.</subfield>'
+    '<subfield code="t">Silmarillion</subfield>'
+    '<subfield code="1">82.31</subfield></datafield>'
+    '<datafield tag="710" ind1=" " ind2=" ">'
+    '<subfield code="3">71010</subfield>'
+    '<subfield code="a">Nasjonalbiblioteket</subfield></datafield>'
+    '<datafield tag="711" ind1=" " ind2=" ">'
+    '<subfield code="3">71101</subfield>'
+    '<subfield code="a">Verdenskongressen</subfield></datafield>'
+    # 740: indicator2 conditions, matching and default branches
+    '<datafield tag="740" ind1=" " ind2="2">'
+    '<subfield code="a">Tilleggstittel</subfield></datafield>'
+    '<datafield tag="740" ind1=" " ind2=" ">'
+    '<subfield code="a">Omslagstittel</subfield></datafield>'
+    # 760/780/785: tnr_ URIs, [\W]+ strip, case preserved (no urlize)
+    '<datafield tag="760" ind1=" " ind2=" ">'
+    '<subfield code="w">(NO-TrBIB)123456</subfield></datafield>'
+    '<datafield tag="780" ind1=" " ind2=" ">'
+    '<subfield code="w">88.111-2</subfield></datafield>'
+    '<datafield tag="785" ind1=" " ind2=" ">'
+    '<subfield code="w">99x</subfield></datafield>'
+    # 856: lookahead strip ^.*?(?=http) drops the label prefix
+    '<datafield tag="856" ind1=" " ind2=" ">'
+    '<subfield code="u">Se: http://example.org/thing</subfield></datafield>'
+    # 082: indicator1 conditions where ' ' (space) is a sub KEY
+    '<datafield tag="082" ind1="3" ind2=" ">'
+    '<subfield code="a">948.1/</subfield></datafield>'
+    '<datafield tag="082" ind1=" " ind2=" ">'
+    '<subfield code="a">381.2</subfield></datafield>'
+    # 015: subfield conditions WITHOUT default -> nil predicate drops
+    '<datafield tag="015" ind1=" " ind2=" ">'
+    '<subfield code="a">777888</subfield>'
+    '<subfield code="b">bibbi</subfield></datafield>'
+    '<datafield tag="015" ind1=" " ind2=" ">'
+    '<subfield code="a">999000</subfield>'
+    '<subfield code="b">ukjent</subfield></datafield>'
+    '<datafield tag="020" ind1=" " ind2=" ">'
+    '<subfield code="a">ISBN 82-05-30003-7 (ib.)</subfield>'
+    '<subfield code="b">ib.</subfield>'
+    '<subfield code="c">Kr 299</subfield></datafield>'
+    # 505 matches the ^5(?!03|20|21|...) catch-all; 520 is excluded
+    # from it and hits its own rule
+    '<datafield tag="505" ind1=" " ind2=" ">'
+    '<subfield code="a">Tre noveller</subfield></datafield>'
+    '<datafield tag="520" ind1=" " ind2=" ">'
+    '<subfield code="a">Et sammendrag</subfield></datafield>'
+    "</record>"
+)
+
+S2 = "http://example.com/id_900002"
+BIBO = "http://purl.org/ontology/bibo/"
+FABIO = "http://purl.org/spar/fabio/"
+RDA = "http://rdvocab.info/Elements/"
+XFOAF = "http://www.foafrealm.org/xfoaf/0.1/"
+RADATANA = "http://def.bibsys.no/xmlns/radatana/1.0#"
+GEONAMES = "http://www.geonames.org/ontology#"
+DBO = "http://dbpedia.org/ontology/"
+FOAF2 = "http://xmlns.com/foaf/0.1/"
+P100 = DEICH + "person/x13579"
+P700A = DEICH + "person/x24680"
+P700B = DEICH + "person/x11111"
+WORK700 = DEICH + "work/x11111_silmarillion"
+WORK130 = DEICH + "work/xBibelen-GT"
+SER = DEICH + "series/x44001"
+ORG710 = DEICH + "organization/x71010"
+CONF711 = DEICH + "conference/x71101"
+
+SKELETON2_EXPECTED = [
+    # --- 100: creator person + relation block ---
+    (S2, DC + "creator", P100, True, None, None),
+    (P100, RDF_TYPE, FOAF2 + "Person", True, None, None),
+    (P100, RADATANA + "catalogueName", "Tolkien, J.R.R.",
+     False, None, None),
+    (P100, FOAF2 + "givenName", "John", False, None, None),
+    (P100, FOAF2 + "title", "prof.", False, None, None),
+    (P100, DEICH + "lifespan", "1892-1973", False, None, None),
+    (P100, SKOS + "notation", "82.3", False, None, None),
+    (P100, DC + "identifier", "13579", False, None, None),
+    # $j 'eng-brit' regex_split [\-]+ -> two nationality URIs
+    (P100, XFOAF + "nationality", DEICH + "nationality/eng",
+     True, None, None),
+    (P100, XFOAF + "nationality", DEICH + "nationality/brit",
+     True, None, None),
+    # --- 245: one trailing punct char + trailing space stripped ---
+    (S2, DC + "title", "Hobbiten", False, None, None),
+    (S2, FABIO + "hasSubtitle", "eller dit og tilbake",
+     False, None, None),
+    (S2, RDA + "statementOfResponsibility", "oversatt av NN",
+     False, None, None),
+    (S2, FABIO + "hasSubtitle", "Del 1", False, None, None),
+    (S2, BIBO + "number", "1", False, None, None),
+    # colliding '245|245': [\W]+ strip then urlize downcase
+    (S2, DEICH + "titleURLized", "hobbiten", False, None, None),
+    # --- 246: $a combines [a, b]; $b also fires alone (stripped) ---
+    (S2, RDA + "variantTitleForTheWork", "Hobbiten. En reise.",
+     False, None, None),
+    (S2, RDA + "variantTitleForTheWork", "En reise", False, None, None),
+    # --- 250: edition literal has NO strip -> trailing dot kept ---
+    (S2, BIBO + "edition", "2. utg.", False, None, None),
+    # --- 300: '312 s.' -> pagination strip ---
+    (S2, BIBO + "numPages", "312", False, None, None),
+    # --- 260 ---
+    (S2, DEICH + "publicationPlace", DEICH + "publicationPlace/oslo",
+     True, None, None),
+    (DEICH + "publicationPlace/oslo", RDF_TYPE, GEONAMES + "Feature",
+     True, None, None),
+    (DEICH + "publicationPlace/oslo", GEONAMES + "name", "Oslo",
+     False, None, None),
+    # 'Aschehoug & Co': strip [\W]+ -> 'AschehougCo', urlize downcase
+    (S2, DC + "publisher", DEICH + "organization/aschehougco",
+     True, None, None),
+    (DEICH + "organization/aschehougco", RDF_TYPE,
+     FOAF2 + "Organization", True, None, None),
+    (DEICH + "organization/aschehougco", FOAF2 + "name",
+     "Aschehoug & Co", False, None, None),
+    (S2, DC + "issued", "1997", False, None, None),
+    # --- 440: series ---
+    (S2, DC + "isPartOf", SER, True, None, None),
+    (SER, RDF_TYPE, BIBO + "Series", True, None, None),
+    (SER, DC + "title", "Ringenes herre-serien", False, None, None),
+    (SER, BIBO + "issn", "0333-1234", False, None, None),
+    (SER, RDA + "statementOfResponsibility", "av JRRT",
+     False, None, None),
+    (SER, RDA + "variantTitleForTheWork", "Bind", False, None, None),
+    (SER, DC + "identifier", "44001", False, None, None),
+    (S2, DEICH + "volumeNumber", "2", False, None, None),
+    # --- 130: work URI not urlized -> case + dash survive ---
+    (S2, FABIO + "isManifestationOf", WORK130, True, None, None),
+    (WORK130, RDF_TYPE, FABIO + "Work", True, None, None),
+    (WORK130, DC + "title", "Bibelen. Gamle testamentet",
+     False, None, None),
+    (WORK130, SKOS + "notation", "221", False, None, None),
+    (WORK130, DC + "identifier", "Bibelen-GT", False, None, None),
+    # --- 700 w/ $e 'overs' -> BIBO.translator ---
+    (S2, BIBO + "translator", P700A, True, None, None),
+    (P700A, RDF_TYPE, FOAF2 + "Person", True, None, None),
+    (P700A, RADATANA + "catalogueName", "Andersen, Nina",
+     False, None, None),
+    (P700A, BIBO + "suffixName", "d.y.", False, None, None),
+    (P700A, DEICH + "lifespan", "1950-", False, None, None),
+    (P700A, DC + "identifier", "24680", False, None, None),
+    # --- 700 w/ $t, no $e: '700' default + '700|700' work both fire
+    (S2, DC + "contributor", P700B, True, None, None),
+    (P700B, RDF_TYPE, FOAF2 + "Person", True, None, None),
+    (P700B, RADATANA + "catalogueName", "Tolkien, J.R.R.",
+     False, None, None),
+    (P700B, SKOS + "notation", "82.31", False, None, None),
+    (P700B, DC + "identifier", "11111", False, None, None),
+    (S2, DC + "hasPart", WORK700, True, None, None),
+    (WORK700, RDF_TYPE, FABIO + "Work", True, None, None),
+    (WORK700, SKOS + "notation", "82.31", False, None, None),
+    (WORK700, DC + "creator", P700B, True, None, None),
+    (WORK700, DC + "title", "Silmarillion", False, None, None),
+    # --- 710 / 711 ---
+    (S2, DC + "contributor", ORG710, True, None, None),
+    (ORG710, RDF_TYPE, FOAF2 + "Organization", True, None, None),
+    (ORG710, FOAF2 + "name", "Nasjonalbiblioteket", False, None, None),
+    (ORG710, DC + "identifier", "71010", False, None, None),
+    (S2, DC + "contributor", CONF711, True, None, None),
+    (CONF711, RDF_TYPE, BIBO + "Conference", True, None, None),
+    (CONF711, FOAF2 + "name", "Verdenskongressen", False, None, None),
+    (CONF711, DC + "identifier", "71101", False, None, None),
+    # --- 740: matching indicator sub vs default ---
+    (S2, DC + "hasPart", "Tilleggstittel", False, None, None),
+    (S2, DC + "alternative", "Omslagstittel", False, None, None),
+    # --- 760/780/785: tnr_ strip keeps case, no urlize ---
+    (S2, DC + "isPartOf", DEICH + "resource/tnr_NOTrBIB123456",
+     True, None, None),
+    (S2, DBO + "previousWork", DEICH + "resource/tnr_881112",
+     True, None, None),
+    (S2, DBO + "subsequentWork", DEICH + "resource/tnr_99x",
+     True, None, None),
+    # --- 856: the lookahead strip drops the label prefix, then
+    # urlize's [^-_A-Za-z0-9] removal guts the URL's scheme/slashes
+    # and generate_uri coerces the scheme-less result to a LITERAL
+    # (string_replace.rb:74-83 + rdfmodeler.rb:35-47 — faithful to
+    # the reference, surprising as it looks) ---
+    (S2, FABIO + "hasURL", "httpexampleorgthing", False, None, None),
+    # --- 082: ind1='3' -> dewey; ind1=' ' (space sub KEY) -> local
+    (S2, DEICH + "dewey", "948.1", False, None, None),
+    (S2, DEICH + "localCode", "381.2", False, None, None),
+    # --- 015: matched sub ---
+    (S2, DEICH + "bsID", "777888", False, None, None),
+    # --- 020 ---
+    (S2, BIBO + "isbn", "8205300037", False, None, None),
+    (S2, DEICH + "bindingInfo", DEICH + "bindingInfo/ib",
+     True, None, None),
+    (S2, DEICH + "priceInfo", "Kr 299", False, None, None),
+    # --- 5XX negative-lookahead catch-all vs dedicated 520 rule ---
+    (S2, DC + "description", "Tre noveller", False, "no", None),
+    (S2, DC + "abstract", "Et sammendrag", False, None, None),
+]
+
+
+@pytest.fixture(scope="module")
+def skeleton2_triples(spark):
+    import datetime as dt
+
+    from marc2rdf_spark.plans.pipeline import load_mapping
+    from marc2rdf_spark.schema import WEB_PAGES_SCHEMA
+
+    pages = spark.createDataFrame(
+        [(
+            "http://crawl.example/p2",
+            dt.datetime(2020, 1, 1),
+            None,
+            "<html>" + SKELETON2_RECORD + "</html>",
+            None,
+        )],
+        WEB_PAGES_SCHEMA,
+    )
+    triples = (
+        MappingCompiler(load_mapping("skeleton"), Library())
+        .convert(extract_and_parse(pages))
+        .dropDuplicates(TRIPLE_COLS)
+    )
+    return {
+        (r.subj, r.pred, r.obj, r.obj_is_uri, r.lang, r.dtype)
+        for r in triples.collect()
+    }
+
+
+@pytest.mark.parametrize("idx", range(len(SKELETON2_EXPECTED)))
+def test_skeleton2_rule_families_hand_expected(skeleton2_triples, idx):
+    assert SKELETON2_EXPECTED[idx] in skeleton2_triples
+
+
+def test_skeleton2_negative_expectations(skeleton2_triples):
+    """(a) 015 conditions have no default: the unmatched $b leaves the
+    predicate nil and the whole statement is dropped (rdfmodeler.rb's
+    nil-predicate guard).  (b) 520 is excluded from the ^5 catch-all
+    by its negative lookahead, so its text is never DC.description.
+    (c) the 700-with-$e field has no $t, so it mints no work."""
+    assert not any(o == "999000" for (_s, _p, o, *_r) in skeleton2_triples)
+    assert (
+        S2, DC + "description", "Et sammendrag", False, "no", None
+    ) not in skeleton2_triples
+    assert not any(
+        "work/x24680" in s or (isinstance(o, str) and "work/x24680" in o)
+        for (s, _p, o, *_r) in skeleton2_triples
+    )
