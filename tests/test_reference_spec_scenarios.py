@@ -865,3 +865,22 @@ def test_skeleton2_negative_expectations(skeleton2_triples):
         "work/x24680" in s or (isinstance(o, str) and "work/x24680" in o)
         for (s, _p, o, *_r) in skeleton2_triples
     )
+
+
+def test_skeleton2_oracle_parity(skeleton2_triples):
+    """Three-way check: the independent pure-Python oracle converter
+    (oracle/converter.py, the row-at-a-time twin of RDFModeler#convert)
+    produces EXACTLY the Spark compiler's triple set on the skeleton2
+    record — an input neither implementation was tuned on, parsed by
+    the plain-Python XML path rather than the Arrow extract."""
+    from marc2rdf_spark.config import Library as Lib
+    from marc2rdf_spark.config import load_skeleton_mapping
+    from marc2rdf_spark.marc import parse_record_xml
+    from marc2rdf_spark.oracle.converter import convert_records
+
+    rec = parse_record_xml(SKELETON2_RECORD)
+    oracle = {
+        (t.subj, t.pred, t.obj, t.obj_is_uri, t.lang, t.dtype)
+        for t in convert_records([rec], load_skeleton_mapping(), Lib())
+    }
+    assert oracle == skeleton2_triples
