@@ -328,3 +328,40 @@ def ngram_counts(docs: DataFrame, k: int = 50) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("gram"))
         .limit(k)
     )
+
+
+def seeded_shard(
+    docs: DataFrame, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic epoch shuffle: assign every document to one of
+    ``n_shards`` output shards and give it a within-shard order key,
+    so a training run reads shard files in shard order and each reader
+    locally sorts its shard by ``ord_key`` — a full deterministic
+    permutation of the corpus per ``seed`` (new epoch = new seed)
+    WITHOUT a global sort.
+
+    Scale shape: shard assignment and the order key are both pure
+    Column expressions over (seed, doc_id), so the only movement is
+    the one hash ``repartition`` the writer needs anyway to produce
+    shard files; within-shard ordering is a per-shard local sort
+    (``sortWithinPartitions``), never a global range exchange.  The
+    permutation is reproducible across engines and runs: xxhash64 is
+    a pinned algorithm, not a session-random function.
+
+    Reference counterpart: the reference processes batches in OAI
+    arrival order (scheduler.rb:336-344); a training pipeline needs
+    the opposite — a reshuffleable, seed-addressable order.
+
+    Returns (doc_id, shard, ord_key).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.xxhash64(F.lit(seed), F.col("doc_id"))
+    # independent second hash for the within-shard order so shard
+    # membership and local order are uncorrelated
+    o = F.xxhash64(F.lit(seed * 1315423911 + 1), F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        o.alias("ord_key"),
+    )

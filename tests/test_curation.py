@@ -110,3 +110,39 @@ def test_ngram_counts_topk_tiebreak(spark):
     # -> all three grams have count 2; top-2 takes the 2 smallest grams
     got = [(r.gram, r.n) for r in ngram_counts(docs, k=2).collect()]
     assert got == [("a b", 2), ("b c", 2)]
+
+
+def test_seeded_shard_permutation_properties(spark):
+    """Epoch shuffle: every doc lands in exactly one shard, the
+    mapping is deterministic per seed, different seeds give a
+    different permutation, shards are roughly balanced, and the
+    (shard, ord_key) order never needs a global sort."""
+    import pytest as _pytest
+
+    from marc2rdf_spark.operators.curation import seeded_shard
+
+    docs = spark.range(2000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id")
+    )
+    a = seeded_shard(docs, 16, seed=7)
+    rows = {r.doc_id: (r.shard, r.ord_key) for r in a.collect()}
+    assert len(rows) == 2000  # exactly-once
+    # deterministic: a second evaluation is identical
+    again = {r.doc_id: (r.shard, r.ord_key) for r in
+             seeded_shard(docs, 16, seed=7).collect()}
+    assert rows == again
+    # different seed -> different permutation (overwhelmingly)
+    other = {r.doc_id: (r.shard, r.ord_key) for r in
+             seeded_shard(docs, 16, seed=8).collect()}
+    assert rows != other
+    # all shards in range and roughly balanced (expected 125/shard)
+    from collections import Counter
+
+    sizes = Counter(s for s, _ in rows.values())
+    assert set(sizes) <= set(range(16))
+    assert min(sizes.values()) > 60 and max(sizes.values()) < 200
+    # order keys unique within this corpus (collision would make the
+    # local sort nondeterministic between equal keys)
+    assert len({o for _, o in rows.values()}) == 2000
+    with _pytest.raises(ValueError):
+        seeded_shard(docs, 0)
