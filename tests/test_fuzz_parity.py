@@ -180,3 +180,75 @@ def test_full_skeleton_tagspace_spark_equals_oracle(spark, tmp_path):
     # non-vacuous: the tag space really fired (the SET dedup collapses
     # the heavily-repeated value pool, so hundreds, not thousands)
     assert len(spark_t) > 400
+
+
+def test_full_tagspace_xml_route_spark_equals_oracle(spark):
+    """Same full-tag-space fuzz through the MARCXML route: records
+    serialized to MARCXML, embedded in web pages, extracted by the
+    Arrow `extract_and_parse` pass (S2/S3), converted by the Spark
+    compiler — still triple-identical to the oracle on the original
+    Record objects."""
+    import datetime as dt
+
+    from marc2rdf_spark.compiler import MappingCompiler
+    from marc2rdf_spark.marc import record_to_xml
+    from marc2rdf_spark.schema import WEB_PAGES_SCHEMA
+    from marc2rdf_spark.sources.extract import extract_and_parse
+
+    rng = random.Random(20260819)
+    records = []
+    for i in range(40):
+        fields = [ControlField("001", f"X{i:06d}")]
+        if rng.random() < 0.4:
+            fields.append(
+                ControlField(
+                    "008",
+                    "".join(
+                        rng.choice("abcdejnp 01")
+                        for _ in range(rng.randrange(0, 41))
+                    ),
+                )
+            )
+        for _ in range(rng.randrange(2, 9)):
+            subs = [
+                Subfield(rng.choice(CODES_FULL), rng.choice(VALS_FULL))
+                for _ in range(rng.randrange(1, 6))
+            ]
+            fields.append(
+                DataField(
+                    rng.choice(TAGS_FULL),
+                    rng.choice(" 0123"),
+                    rng.choice(" 0123"),
+                    subs,
+                )
+            )
+        records.append(Record(leader=" " * 24, fields=fields))
+
+    pages = spark.createDataFrame(
+        [
+            (
+                f"http://crawl.example/fz{i}",
+                dt.datetime(2020, 1, 1),
+                None,
+                "<html>" + record_to_xml(r) + "</html>",
+                None,
+            )
+            for i, r in enumerate(records)
+        ],
+        WEB_PAGES_SCHEMA,
+    )
+    comp = MappingCompiler(load_skeleton_mapping(), SPEC_LIBRARY)
+    spark_t = {
+        tuple(r)
+        for r in comp.convert(extract_and_parse(pages))
+        .select("subj", "pred", "obj", "obj_is_uri", "lang", "dtype")
+        .collect()
+    }
+    oracle_t = {
+        (t.subj, t.pred, t.obj, t.obj_is_uri, t.lang, t.dtype)
+        for t in convert_records(
+            records, load_skeleton_mapping(), SPEC_LIBRARY
+        )
+    }
+    assert spark_t == oracle_t
+    assert len(spark_t) >= 200
