@@ -365,3 +365,34 @@ def seeded_shard(
         F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
         o.alias("ord_key"),
     )
+
+
+TRACKING_PARAM_RE = (
+    r"&(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref_src)"
+    r"=[^&#]*"
+)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize a crawl URL for url-level dedup (the step before
+    the pipeline's last-write-wins groupBy(url): near-identical crawl
+    URLs of the same page otherwise defeat it): lowercase the
+    scheme+host, drop the fragment, drop default :80/:443 ports, strip
+    common tracking query params (utm_*, fbclid, gclid, ...), and
+    normalize a bare trailing '?'/'&'.
+
+    Pure Column expressions (whole-stage codegen, scan-pushable) — the
+    only subtlety is the first-param case: '?' is first rewritten to
+    '&' so every tracking param matches one uniform pattern, then the
+    first surviving '&' is restored to '?'.
+    """
+    scheme_host = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*"
+    u = F.regexp_replace(url, r"#.*$", "")  # fragment
+    head = F.regexp_extract(u, f"({scheme_host})", 1)
+    rest = F.regexp_replace(u, scheme_host, "")
+    head = F.regexp_replace(F.lower(head), r":(80|443)$", "")
+    q = F.regexp_replace(rest, r"\?", "&")
+    q = F.regexp_replace(q, TRACKING_PARAM_RE, "")
+    q = F.regexp_replace(q, r"^([^&]*)&", "$1?")
+    q = F.regexp_replace(q, r"[?&]$", "")
+    return F.concat(head, q)

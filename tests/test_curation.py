@@ -146,3 +146,32 @@ def test_seeded_shard_permutation_properties(spark):
     assert len({o for _, o in rows.values()}) == 2000
     with _pytest.raises(ValueError):
         seeded_shard(docs, 0)
+
+
+def test_canonical_url(spark):
+    from marc2rdf_spark.operators.curation import canonical_url
+
+    cases = [
+        # (raw, expected)
+        ("HTTP://Example.COM:80/Path?a=1#frag",
+         "http://example.com/Path?a=1"),
+        ("https://ex.org:443/x", "https://ex.org/x"),
+        # tracking params stripped wherever they sit, incl. first
+        ("https://ex.org/p?utm_source=tw&x=1&utm_medium=m",
+         "https://ex.org/p?x=1"),
+        ("https://ex.org/p?x=1&fbclid=abc", "https://ex.org/p?x=1"),
+        ("https://ex.org/p?gclid=z", "https://ex.org/p"),
+        # path case preserved, only scheme+host lowered
+        ("https://Ex.org/CaseSensitive/Path",
+         "https://ex.org/CaseSensitive/Path"),
+        # no scheme: passes through the same param logic unharmed
+        ("relative/path?utm_campaign=c", "relative/path"),
+        # port other than default kept
+        ("http://ex.org:8080/x?a=2", "http://ex.org:8080/x?a=2"),
+        # fragment-only difference collapses
+        ("https://ex.org/x#sec1", "https://ex.org/x"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [r.c for r in df.select(
+        canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [e for _, e in cases]
