@@ -396,3 +396,96 @@ def canonical_url(url: Column) -> Column:
     q = F.regexp_replace(q, r"^([^&]*)&", "$1?")
     q = F.regexp_replace(q, r"[?&]$", "")
     return F.concat(head, q)
+
+
+def line_dedup(
+    docs: DataFrame, min_doc_frac: float = 0.01, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document line deduplication (CCNet/RefinedWeb cleanup):
+    remove every line that occurs — after whitespace-trim — in at
+    least ``max(min_docs, min_doc_frac * n_docs)`` distinct documents
+    (navigation chrome, cookie banners, boilerplate headers), and
+    reassemble each document's remaining lines in original order.
+
+    Scale shape: one posexplode; the line document-frequency
+    aggregation and the join back are both keyed on the 8-byte
+    ``xxhash64`` of the trimmed line, so full line STRINGS never enter
+    a shuffle — only in the final per-document reassembly groupBy do
+    surviving lines move, and those are grouped by doc_id exactly like
+    every other per-doc operator here.  The corpus document count
+    rides the same aggregation as a NULL-sentinel row (the
+    ``boilerplate_score`` trick) so no separate count job runs.
+
+    Returns (doc_id, text_clean, n_lines, n_removed).
+    """
+    # one NULL sentinel element is appended to every doc's line array:
+    # its NULL hash group in the frequency agg has df == n_docs exactly
+    # (blank lines also hash to NULL — they are never dedup candidates
+    # and never join the common set — and the distinct() below keeps
+    # the NULL group one row per doc regardless)
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.concat(
+                F.split(F.col("text"), r"\n"),
+                F.array(F.lit(None).cast("string")),
+            )
+        ).alias("pos", "line"),
+    ).withColumn(
+        "lh",
+        F.when(
+            F.col("line").isNull() | (F.trim(F.col("line")) == ""),
+            F.lit(None).cast("long"),
+        ).otherwise(F.xxhash64(F.trim(F.col("line")))),
+    )
+    df_all = (
+        lines.select("doc_id", "lh")
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count("*").alias("df"))
+        .localCheckpoint(eager=True)
+    )
+    n_docs_row = df_all.filter(F.col("lh").isNull()).select(
+        F.col("df").alias("n_docs")
+    )
+    common = (
+        df_all.filter(F.col("lh").isNotNull())
+        .crossJoin(F.broadcast(n_docs_row))
+        .filter(
+            F.col("df")
+            >= F.greatest(
+                F.lit(min_docs),
+                F.ceil(F.lit(min_doc_frac) * F.col("n_docs")).cast("int"),
+            )
+        )
+        .select("lh", F.lit(True).alias("common"))
+    )
+    kept = (
+        lines.filter(F.col("line").isNotNull())  # sentinel rows out
+        .join(common, "lh", "left")
+        .withColumn("drop", F.coalesce(F.col("common"), F.lit(False)))
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("drop").cast("int")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("drop"),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s.line,
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    return agg.select(
+        "doc_id",
+        "text_clean",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )

@@ -175,3 +175,40 @@ def test_canonical_url(spark):
     got = [r.c for r in df.select(
         canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [e for _, e in cases]
+
+
+def test_line_dedup_cross_document(spark):
+    from marc2rdf_spark.operators.curation import line_dedup
+
+    banner = "Accept cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            ("d1", f"{banner}\nunique one\n\nkeep me"),
+            ("d2", f"{banner}\nunique two"),
+            ("d3", f"unique three\n{banner}"),
+            ("d4", "no banner here"),
+            # repeated line INSIDE one doc only: df counts distinct
+            # docs, so it survives
+            ("d5", "solo dup\nsolo dup"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, min_docs=3).collect()}
+    assert out["d1"].text_clean == "unique one\n\nkeep me"
+    assert out["d2"].text_clean == "unique two"
+    assert out["d3"].text_clean == "unique three"
+    assert out["d4"].text_clean == "no banner here"
+    assert out["d5"].text_clean == "solo dup\nsolo dup"
+    assert out["d1"].n_removed == 1 and out["d1"].n_lines == 4
+    assert out["d4"].n_removed == 0
+    # frac threshold form: banner is in 3/5 docs = 0.6 >= ceil(0.5*5)=3
+    out2 = {r.doc_id: r for r in
+            line_dedup(docs, min_doc_frac=0.5, min_docs=2).collect()}
+    assert out2["d2"].text_clean == "unique two"
+    # trim-insensitive matching: '  banner  ' matches 'banner'
+    docs3 = spark.createDataFrame(
+        [("a", f"  {banner}  \nx"), ("b", banner), ("c", banner)],
+        "doc_id string, text string",
+    )
+    out3 = {r.doc_id: r for r in line_dedup(docs3, min_docs=3).collect()}
+    assert out3["a"].text_clean == "x"
