@@ -80,8 +80,16 @@ RUBY_STRIP_RE = r"^[\s\x00]+|[\s\x00]+$"
 DEFAULT_URLIZE_STRIP = r"[^-_A-Za-z0-9]"
 
 
+_RUBY_STRIP = re.compile(RUBY_STRIP_RE, re.ASCII)
+
+
 def py_ruby_strip(s: str) -> str:
-    return re.sub(RUBY_STRIP_RE, "", s)
+    """Ruby String#strip twin: ASCII whitespace + NUL only.  re.ASCII
+    is load-bearing — Python's unicode ``\\s`` also eats \\x1c-\\x1f,
+    \\x85 and \\xa0, which Ruby's strip (and Java's default ``\\s`` on
+    the Column side) keep.  Found by the hypothesis parity property
+    (tests/test_textsem_property.py) on '\\x1f'."""
+    return _RUBY_STRIP.sub("", s)
 
 
 def py_replacecharacters(s: str) -> str:
