@@ -205,7 +205,17 @@ def main() -> None:
     timed("kg_cc_chain64k", kg_cc_chain, repeats=2)
 
     # --- training-data ops -------------------------------------------------
-    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    # The sf0.1 documents table is ONE parquet split, so without a
+    # repartition every docs_* operator's scan stage runs on a single
+    # core — a small-scale artifact, not the real job shape: a 100 TB
+    # table arrives in thousands of read splits.  Splitting the cached
+    # input across the cores is the same honest-setup rule as the
+    # pre-materialized page corpus above (measured: near_dup 7.0 ->
+    # 3.5 s, decontaminate 4.2 -> 0.8 s at sf0.1 on local[32]).
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .repartition(CPUS)
+    )
     docs.cache().count()
 
     from marc2rdf_spark.operators.dedup import exact_duplicates, near_duplicates
@@ -267,7 +277,14 @@ def main() -> None:
 
     from marc2rdf_spark.operators.similarity import brute_force_topk, lsh_topk
 
+    # same single-split artifact as documents, but row-aware: the ANN
+    # bucketing paths run vectorized pandas UDFs whose per-batch BLAS
+    # call needs enough rows to amortize the Arrow round trip —
+    # measured at sf0.1 (2k vectors): lsh/ivf best at 4-8 partitions
+    # (0.92/1.01 s), 2x worse at 32 (1.6/1.44 s, 62-row batches).
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    n_vec = emb.count()
+    emb = emb.repartition(max(1, min(CPUS, n_vec // 250)))
     emb.cache().count()
 
     def ann():
