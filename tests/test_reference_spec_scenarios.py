@@ -867,6 +867,346 @@ def test_skeleton2_negative_expectations(skeleton2_triples):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-5 widening #3: the last rule families with no hand-derived
+# expectation — regex_substitute scan semantics (019: clean-first
+# [\W]+ gsub + downcase, scan(orig) LAST match wins, unmatched token
+# passes through CLEANED, rdfmodeler.rb:96-105), capture-group splits
+# feeding substitution (019 $d/$e), corporate/meeting main entries
+# (110/111), indicator-conditioned uniform titles + their urlized
+# colliding twin (240 / '240|240'), the dedicated 5XX note rules vs
+# the ^5(?!..) catch-all, the second branches of the '610|611' and
+# '130|730' alternations (611, 730), and the 653/69X subject families
+# with their '|'-collided urlized twins.  Every tuple is derived BY
+# HAND from mapping_skeleton.json plus rdfmodeler.rb:66-135 — NOT from
+# this repo's oracle.
+
+SKELETON3_RECORD = (
+    '<record xmlns="info:lc/xmlns/marcxchange-v1">'
+    "<leader>00000nam</leader>"
+    '<controlfield tag="001">900003</controlfield>'
+    # 019: split -> clean -> scan-substitute (passthrough + last-wins)
+    '<datafield tag="019" ind1=" " ind2=" ">'
+    '<subfield code="a">mu, 5</subfield>'
+    '<subfield code="s">12 aar</subfield>'
+    '<subfield code="b">dcl</subfield>'
+    '<subfield code="d">rb</subfield>'
+    '<subfield code="e">tatf</subfield></datafield>'
+    '<datafield tag="022" ind1=" " ind2=" ">'
+    '<subfield code="a">0028-0836</subfield></datafield>'
+    '<datafield tag="025" ind1=" " ind2=" ">'
+    '<subfield code="a">EAN 7031402828485</subfield></datafield>'
+    '<datafield tag="090" ind1=" " ind2=" ">'
+    '<subfield code="a">Voksen</subfield>'
+    '<subfield code="b">DVD</subfield>'
+    '<subfield code="c">791.43</subfield>'
+    '<subfield code="d">HYLLE-3</subfield></datafield>'
+    '<datafield tag="092" ind1=" " ind2=" ">'
+    '<subfield code="a">m2</subfield></datafield>'
+    '<datafield tag="099" ind1=" " ind2=" ">'
+    '<subfield code="a">sommer 2020</subfield></datafield>'
+    # 110 corporate main entry: FOAF.name combines [a, b, q] '. '
+    '<datafield tag="110" ind1=" " ind2=" ">'
+    '<subfield code="3">88011</subfield>'
+    '<subfield code="a">Den Norske Turistforening</subfield>'
+    '<subfield code="b">Fjellgruppa</subfield>'
+    '<subfield code="q">DNT</subfield>'
+    '<subfield code="c">Oslo</subfield>'
+    '<subfield code="d">2001</subfield>'
+    '<subfield code="n">7</subfield>'
+    '<subfield code="1">796.5</subfield></datafield>'
+    # 111 meeting main entry: plain FOAF.name, $q -> RDF.description
+    '<datafield tag="111" ind1=" " ind2=" ">'
+    '<subfield code="3">88111</subfield>'
+    '<subfield code="a">Vinter-OL</subfield>'
+    '<subfield code="q">Lillehammer-lekene</subfield>'
+    '<subfield code="c">Lillehammer</subfield>'
+    '<subfield code="d">1994</subfield>'
+    '<subfield code="n">17</subfield>'
+    '<subfield code="1">796.9</subfield></datafield>'
+    # 240 ind1=0 -> uniformTitle branch; ind1=' ' -> default branch;
+    # the '240|240' twin fires urlized on BOTH fields
+    '<datafield tag="240" ind1="0" ind2=" ">'
+    '<subfield code="a">Kalevala.</subfield></datafield>'
+    '<datafield tag="240" ind1=" " ind2=" ">'
+    '<subfield code="a">Taru sormusten herrasta/</subfield></datafield>'
+    # dedicated 5XX rules + a 540 that only the ^5(?!..) catch-all takes
+    '<datafield tag="503" ind1=" " ind2=" ">'
+    '<subfield code="a">2. oppl. 1999</subfield></datafield>'
+    '<datafield tag="521" ind1=" " ind2=" ">'
+    '<subfield code="a">Ungdom</subfield></datafield>'
+    '<datafield tag="540" ind1=" " ind2=" ">'
+    '<subfield code="a">Klausulert</subfield></datafield>'
+    '<datafield tag="546" ind1=" " ind2=" ">'
+    '<subfield code="a">Parallelltekst</subfield></datafield>'
+    '<datafield tag="571" ind1=" " ind2=" ">'
+    '<subfield code="a">Skoleutgave</subfield></datafield>'
+    '<datafield tag="590" ind1=" " ind2=" ">'
+    '<subfield code="a">Sommerliste</subfield></datafield>'
+    '<datafield tag="599" ind1=" " ind2=" ">'
+    '<subfield code="a">Ny plassering</subfield></datafield>'
+    # 611: second branch of the '610|611' alternation
+    '<datafield tag="611" ind1=" " ind2=" ">'
+    '<subfield code="3">61101</subfield>'
+    '<subfield code="a">Verdensutstillingen</subfield>'
+    '<subfield code="b">Paris-delen</subfield>'
+    '<subfield code="q">Expo</subfield>'
+    '<subfield code="c">Paris</subfield>'
+    '<subfield code="d">1900</subfield>'
+    '<subfield code="n">14</subfield>'
+    '<subfield code="1">606</subfield></datafield>'
+    # 653 + '653|653' twin: keyword authority + urlized subject
+    '<datafield tag="653" ind1=" " ind2=" ">'
+    '<subfield code="3">65301</subfield>'
+    '<subfield code="a">Sjakk</subfield>'
+    '<subfield code="q">Norge</subfield>'
+    '<subfield code="x">Historie</subfield>'
+    '<subfield code="0">1900-tallet</subfield>'
+    '<subfield code="1">794.1</subfield></datafield>'
+    # 69X family: one field per prefix variant
+    '<datafield tag="690" ind1=" " ind2=" ">'
+    '<subfield code="3">69001</subfield>'
+    '<subfield code="a">Fotball</subfield>'
+    '<subfield code="1">796.3</subfield></datafield>'
+    '<datafield tag="691" ind1=" " ind2=" ">'
+    '<subfield code="3">69101</subfield>'
+    '<subfield code="a">Drager</subfield></datafield>'
+    '<datafield tag="692" ind1=" " ind2=" ">'
+    '<subfield code="3">69201</subfield>'
+    '<subfield code="a">Vikinger</subfield></datafield>'
+    '<datafield tag="693" ind1=" " ind2=" ">'
+    '<subfield code="3">69301</subfield>'
+    '<subfield code="a">Eventyr</subfield>'
+    '<subfield code="x">Norske</subfield>'
+    '<subfield code="1">398.2</subfield></datafield>'
+    '<datafield tag="694" ind1=" " ind2=" ">'
+    '<subfield code="3">69401</subfield>'
+    '<subfield code="a">Dinosaurer</subfield></datafield>'
+    # 730: second branch of the '130|730' alternation
+    '<datafield tag="730" ind1=" " ind2=" ">'
+    '<subfield code="3">Edda-Snorre</subfield>'
+    '<subfield code="a">Edda</subfield>'
+    '<subfield code="p">Snorres</subfield>'
+    '<subfield code="1">839.6</subfield></datafield>'
+    "</record>"
+)
+
+S3 = "http://example.com/id_900003"
+RDF_DESC = "http://www.w3.org/1999/02/22-rdf-syntax-ns#description"
+ORG110 = DEICH + "organization/x88011"
+CONF111 = DEICH + "conference/x88111"
+ORG611 = DEICH + "organization/x61101"
+KW653 = DEICH + "keyword/x65301"
+SM690 = DEICH + "subjectMultilingual/x69001"
+SF691 = DEICH + "subjectFiction/x69101"
+SJF692 = DEICH + "subjectJuvenileFiction/x69201"
+GJ693 = DEICH + "genreJuvenile/x69301"
+KJ694 = DEICH + "keywordJuvenile/x69401"
+WORK730 = DEICH + "work/xEdda-Snorre"
+
+SKELETON3_EXPECTED = [
+    # --- 019 $a 'mu, 5': split ', *'; 'mu' scans to subs 12-15; '5'
+    # matches nothing in 'a|bu|mu|b|u' so the CLEANED token passes
+    # through (rdfmodeler.rb:96-105 — the block never runs) ---
+    (S3, DC + "audience", DEICH + "audience/ages_12-15", True, None, None),
+    (S3, DC + "audience", DEICH + "audience/ages_5", True, None, None),
+    # 019 $s: [\D]+ strip -> digits only
+    (S3, DEICH + "ageLimit", DEICH + "ageLimit/12", True, None, None),
+    # 019 $b 'dcl': scan matches 'dc' (Compact_Disc) THEN 'l' (Book);
+    # the LAST assignment wins
+    (S3, DC + "format", DEICH + "format/Book", True, None, None),
+    # 019 $d 'rb': capture-group split (\w{1}) -> ['r','b']
+    (S3, DEICH + "literaryFormat", "http://dbpedia.org/resource/Novel",
+     True, None, None),
+    (S3, DEICH + "literaryFormat",
+     "http://dbpedia.org/resource/Picture_book", True, None, None),
+    # 019 $e 'tatf': (\w{2}) -> ['ta','tf']
+    (S3, DEICH + "facilitation", DEICH + "facilitation/simpleText",
+     True, None, None),
+    (S3, DEICH + "facilitation", DEICH + "facilitation/signLanguage",
+     True, None, None),
+    # --- 022 / 025: [\D]+ strips leave bare digit strings ---
+    (S3, BIBO + "issn", "00280836", False, None, None),
+    (S3, BIBO + "eanucc13", "7031402828485", False, None, None),
+    # --- 090 / 092 / 099 location + list literals ---
+    (S3, DEICH + "location_category", "Voksen", False, None, None),
+    (S3, DEICH + "location_format", "DVD", False, None, None),
+    (S3, DEICH + "location_dewey", "791.43", False, None, None),
+    (S3, DEICH + "location_signature", "HYLLE-3", False, None, None),
+    (S3, DC + "location", "m2", False, None, None),
+    (S3, DEICH + "listCode", "sommer 2020", False, None, None),
+    # --- 110: organization creator; FOAF.name combine [a, b, q] ---
+    (S3, DC + "creator", ORG110, True, None, None),
+    (ORG110, RDF_TYPE, FOAF2 + "Organization", True, None, None),
+    (ORG110, FOAF2 + "name", "Den Norske Turistforening. Fjellgruppa. DNT",
+     False, None, None),
+    (ORG110, SKOS + "notation", "796.5", False, None, None),
+    (ORG110, DEICH + "conferencePlace", "Oslo", False, None, None),
+    (ORG110, DEICH + "conferenceDate", "2001", False, None, None),
+    (ORG110, DEICH + "corporationNumber", "7", False, None, None),
+    (ORG110, DC + "identifier", "88011", False, None, None),
+    # --- 111: conference creator; plain name; $q -> RDF.description
+    # (mechanical vocab expansion, vocabularies.rb:71-73) ---
+    (S3, DC + "creator", CONF111, True, None, None),
+    (CONF111, RDF_TYPE, BIBO + "Conference", True, None, None),
+    (CONF111, FOAF2 + "name", "Vinter-OL", False, None, None),
+    (CONF111, RDF_DESC, "Lillehammer-lekene", False, None, None),
+    (CONF111, DEICH + "conferencePlace", "Lillehammer", False, None, None),
+    (CONF111, DEICH + "conferenceDate", "1994", False, None, None),
+    (CONF111, DEICH + "corporationNumber", "17", False, None, None),
+    (CONF111, SKOS + "notation", "796.9", False, None, None),
+    (CONF111, DC + "identifier", "88111", False, None, None),
+    # --- 240: indicator1 picks the predicate; '240|240' twin urlizes
+    # the same subfield under its own indicator-picked predicate ---
+    (S3, DEICH + "uniformTitle", "Kalevala", False, None, None),
+    (S3, DEICH + "uniformTitleURLized", "kalevala", False, None, None),
+    (S3, DEICH + "originalTitle", "Taru sormusten herrasta",
+     False, None, None),
+    (S3, DEICH + "originalTitleURLized", "tarusormustenherrasta",
+     False, None, None),
+    # --- dedicated 5XX rules ---
+    (S3, DEICH + "publicationHistory", "2. oppl. 1999", False, None, None),
+    (S3, DEICH + "ageLimit", "Ungdom", False, None, None),
+    (S3, DEICH + "languageNote", "Parallelltekst", False, None, None),
+    (S3, BIBO + "identifier", "Skoleutgave", False, None, None),
+    (S3, DEICH + "listNote", "Sommerliste", False, None, None),
+    (S3, DEICH + "signatureNote", "Ny plassering", False, None, None),
+    # 540 has no dedicated rule -> ^5(?!..) catch-all, lang no
+    (S3, DC + "description", "Klausulert", False, "no", None),
+    # --- 611 via '610|611' (second alternation branch) ---
+    (S3, DC + "subject", ORG611, True, None, None),
+    (ORG611, RDF_TYPE, FOAF2 + "Organization", True, None, None),
+    (ORG611, FOAF2 + "name", "Verdensutstillingen. Paris-delen. Expo",
+     False, None, None),
+    (ORG611, DEICH + "conferencePlace", "Paris", False, None, None),
+    (ORG611, DEICH + "conferenceDate", "1900", False, None, None),
+    (ORG611, DEICH + "corporationNumber", "14", False, None, None),
+    (ORG611, SKOS + "notation", "606", False, None, None),
+    (ORG611, DC + "identifier", "61101", False, None, None),
+    # --- 653 authority + urlized '653|653' twin ---
+    (S3, DC + "subject", KW653, True, None, None),
+    (KW653, RDF_TYPE, SKOS + "Concept", True, None, None),
+    (KW653, SKOS + "prefLabel", "Sjakk - Norge - Historie - 1900-tallet",
+     False, "no", None),
+    (KW653, SKOS + "notation", "794.1", False, None, None),
+    (KW653, DC + "identifier", "65301", False, None, None),
+    (S3, DC + "subject", DEICH + "subject/sjakk", True, None, None),
+    (DEICH + "subject/sjakk", RDF_TYPE, SKOS + "Concept", True, None, None),
+    (DEICH + "subject/sjakk", SKOS + "prefLabel", "Sjakk",
+     False, None, None),
+    (DEICH + "subject/sjakk", SKOS + "narrower", KW653, True, None, None),
+    # --- 690 multilingual subject + twin ---
+    (S3, DC + "subject", SM690, True, None, None),
+    (SM690, RDF_TYPE, SKOS + "Concept", True, None, None),
+    (SM690, SKOS + "prefLabel", "Fotball", False, "no", None),
+    (SM690, SKOS + "notation", "796.3", False, None, None),
+    (SM690, DC + "identifier", "69001", False, None, None),
+    (S3, DC + "subject", DEICH + "subject/fotball", True, None, None),
+    (DEICH + "subject/fotball", SKOS + "narrower", SM690,
+     True, None, None),
+    # --- 691 fiction subject + twin ---
+    (S3, DC + "subject", SF691, True, None, None),
+    (SF691, SKOS + "prefLabel", "Drager", False, "no", None),
+    (SF691, DC + "identifier", "69101", False, None, None),
+    (S3, DC + "subject", DEICH + "subject/drager", True, None, None),
+    (DEICH + "subject/drager", SKOS + "narrower", SF691, True, None, None),
+    # --- 692 juvenile-fiction subject + twin ---
+    (S3, DC + "subject", SJF692, True, None, None),
+    (SJF692, SKOS + "prefLabel", "Vikinger", False, "no", None),
+    (S3, DC + "subject", DEICH + "subject/vikinger", True, None, None),
+    (DEICH + "subject/vikinger", SKOS + "narrower", SJF692,
+     True, None, None),
+    # --- 693 juvenile genre: RDFS.label combines [a, x] ' - ' ---
+    (S3, DBO + "literaryGenre", GJ693, True, None, None),
+    (GJ693, RDF_TYPE, "http://dbpedia.org/class/yago/LiteraryGenres",
+     True, None, None),
+    (GJ693, RDFS_LABEL, "Eventyr - Norske", False, "no", None),
+    (GJ693, SKOS + "notation", "398.2", False, None, None),
+    (GJ693, DC + "identifier", "69301", False, None, None),
+    # --- 694 juvenile keyword + twin ---
+    (S3, DC + "subject", KJ694, True, None, None),
+    (KJ694, SKOS + "prefLabel", "Dinosaurer", False, "no", None),
+    (S3, DC + "subject", DEICH + "subject/dinosaurer", True, None, None),
+    (DEICH + "subject/dinosaurer", SKOS + "narrower", KJ694,
+     True, None, None),
+    # --- 730 via '130|730': [^\w\-]+ strip keeps case + dash ---
+    (S3, FABIO + "isManifestationOf", WORK730, True, None, None),
+    (WORK730, RDF_TYPE, FABIO + "Work", True, None, None),
+    (WORK730, DC + "title", "Edda. Snorres", False, None, None),
+    (WORK730, SKOS + "notation", "839.6", False, None, None),
+    (WORK730, DC + "identifier", "Edda-Snorre", False, None, None),
+]
+
+
+@pytest.fixture(scope="module")
+def skeleton3_triples(spark):
+    import datetime as dt
+
+    from marc2rdf_spark.plans.pipeline import load_mapping
+    from marc2rdf_spark.schema import WEB_PAGES_SCHEMA
+
+    pages = spark.createDataFrame(
+        [(
+            "http://crawl.example/p3",
+            dt.datetime(2020, 1, 1),
+            None,
+            "<html>" + SKELETON3_RECORD + "</html>",
+            None,
+        )],
+        WEB_PAGES_SCHEMA,
+    )
+    triples = (
+        MappingCompiler(load_mapping("skeleton"), Library())
+        .convert(extract_and_parse(pages))
+        .dropDuplicates(TRIPLE_COLS)
+    )
+    return {
+        (r.subj, r.pred, r.obj, r.obj_is_uri, r.lang, r.dtype)
+        for r in triples.collect()
+    }
+
+
+@pytest.mark.parametrize("idx", range(len(SKELETON3_EXPECTED)))
+def test_skeleton3_rule_families_hand_expected(skeleton3_triples, idx):
+    assert SKELETON3_EXPECTED[idx] in skeleton3_triples
+
+
+def test_skeleton3_negative_expectations(skeleton3_triples):
+    """(a) 019 $b 'dcl' scan-substitutes LAST-wins: the intermediate
+    'dc' -> Compact_Disc assignment must not survive.  (b) the ind1=0
+    240 field routes to uniformTitle, never originalTitle.  (c) 019 $a
+    default 'all' is dead code under Ruby's scan (the block only runs
+    on a match), so audience/ages_all never appears."""
+    assert not any(
+        o == DEICH + "format/Compact_Disc"
+        for (_s, _p, o, *_r) in skeleton3_triples
+    )
+    assert (
+        S3, DEICH + "originalTitle", "Kalevala", False, None, None
+    ) not in skeleton3_triples
+    assert not any(
+        o == DEICH + "audience/ages_all"
+        for (_s, _p, o, *_r) in skeleton3_triples
+    )
+
+
+def test_skeleton3_oracle_parity(skeleton3_triples):
+    """Three-way check mirroring skeleton2's: the independent
+    pure-Python oracle converter produces EXACTLY the Spark compiler's
+    triple set on the skeleton3 record."""
+    from marc2rdf_spark.config import Library as Lib
+    from marc2rdf_spark.config import load_skeleton_mapping
+    from marc2rdf_spark.marc import parse_record_xml
+    from marc2rdf_spark.oracle.converter import convert_records
+
+    rec = parse_record_xml(SKELETON3_RECORD)
+    oracle = {
+        (t.subj, t.pred, t.obj, t.obj_is_uri, t.lang, t.dtype)
+        for t in convert_records([rec], load_skeleton_mapping(), Lib())
+    }
+    assert oracle == skeleton3_triples
+
+
 def test_skeleton2_oracle_parity(skeleton2_triples):
     """Three-way check: the independent pure-Python oracle converter
     (oracle/converter.py, the row-at-a-time twin of RDFModeler#convert)

@@ -598,12 +598,24 @@ def main() -> None:
     pool_eff = (low["triples"] / pool_high) / (
         low["triples"] / pool_low
     ) / factor
+    # History table shows EVERY same-config run — pooled or not — so
+    # regenerating this report never erases measurement history; the
+    # pool column says why a run is excluded (older measured_fp /
+    # tainted noise episode) rather than hiding it.
+    def _pool_status(r):
+        if r.get("tainted"):
+            return "no (tainted)"
+        if r.get("measured_fp") != measured_fp:
+            return "no (other fp)"
+        return "yes"
+
     runs_table = "\n".join(
         f"| {r['ts']} | {r['git_rev']} | "
         f"{', '.join(str(x) for x in r['convert_walls_low'])} | "
         f"{', '.join(str(x) for x in r['convert_walls_high'])} | "
-        f"{min(r['convert_walls_low']) / min(r['convert_walls_high']) / factor:.2f} |"
-        for r in pooled
+        f"{min(r['convert_walls_low']) / min(r['convert_walls_high']) / factor:.2f} | "
+        f"{_pool_status(r)} |"
+        for r in sorted(pooled + stale, key=lambda r: r["ts"])
     )
 
     md = f"""# BENCH — measured baseline (this repo)
@@ -683,10 +695,10 @@ scaling_runs.jsonl with `"tainted": true` but never regenerates this
 file and never enters the best-of pool; this report always comes from
 an untainted invocation.
 
-### All recorded runs of this config (pooled above)
+### All recorded runs of this config (pool membership marked)
 
-| run | git rev | N convert walls (s) | 4N convert walls (s) | run eff |
-|---|---|---|---|---|
+| run | git rev | N convert walls (s) | 4N convert walls (s) | run eff | in pool |
+|---|---|---|---|---|---|
 {runs_table}
 
 ### The box's own scaling ceiling (control experiment)
