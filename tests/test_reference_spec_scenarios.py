@@ -941,8 +941,18 @@ SKELETON3_RECORD = (
     '<subfield code="a">Parallelltekst</subfield></datafield>'
     '<datafield tag="571" ind1=" " ind2=" ">'
     '<subfield code="a">Skoleutgave</subfield></datafield>'
+    '<datafield tag="572" ind1=" " ind2=" ">'
+    '<subfield code="a">Ogsaa kjent som X</subfield></datafield>'
+    '<datafield tag="573" ind1=" " ind2=" ">'
+    '<subfield code="a">Tittel fra omslag</subfield></datafield>'
+    '<datafield tag="574" ind1=" " ind2=" ">'
+    '<subfield code="a">Originaltittel: Y</subfield></datafield>'
     '<datafield tag="590" ind1=" " ind2=" ">'
     '<subfield code="a">Sommerliste</subfield></datafield>'
+    '<datafield tag="592" ind1=" " ind2=" ">'
+    '<subfield code="a">B. 2</subfield></datafield>'
+    '<datafield tag="595" ind1=" " ind2=" ">'
+    '<subfield code="a">1990-2001</subfield></datafield>'
     '<datafield tag="599" ind1=" " ind2=" ">'
     '<subfield code="a">Ny plassering</subfield></datafield>'
     # 611: second branch of the '610|611' alternation
@@ -1069,7 +1079,13 @@ SKELETON3_EXPECTED = [
     (S3, DEICH + "ageLimit", "Ungdom", False, None, None),
     (S3, DEICH + "languageNote", "Parallelltekst", False, None, None),
     (S3, BIBO + "identifier", "Skoleutgave", False, None, None),
+    (S3, DEICH + "variantTitleNote", "Ogsaa kjent som X", False, None, None),
+    (S3, DEICH + "titleSourceNote", "Tittel fra omslag", False, None, None),
+    (S3, DEICH + "originalTitleNote", "Originaltittel: Y",
+     False, None, None),
     (S3, DEICH + "listNote", "Sommerliste", False, None, None),
+    (S3, DEICH + "volumePartNote", "B. 2", False, None, None),
+    (S3, DEICH + "periodicalCoverage", "1990-2001", False, None, None),
     (S3, DEICH + "signatureNote", "Ny plassering", False, None, None),
     # 540 has no dedicated rule -> ^5(?!..) catch-all, lang no
     (S3, DC + "description", "Klausulert", False, "no", None),
