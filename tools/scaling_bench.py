@@ -701,6 +701,14 @@ an untainted invocation.
 |---|---|---|---|---|---|
 {runs_table}
 
+The fingerprint break between the 2026-08-18 era (pooled 0.94, best
+single invocation 1.02) and the current pool is the r5
+`py_ruby_strip` ASCII fix (commit 3f7f4dc) — an ORACLE-side Python
+twin; the compiled Spark plan is byte-identical.  The prior era's
+numbers therefore remain informative context for the same executed
+plan, but the headline conservatively pools only
+fingerprint-identical runs.
+
 ### The box's own scaling ceiling (control experiment)
 
 `python tools/bandwidth_probe.py` — pure 256 MB numpy copies on the
