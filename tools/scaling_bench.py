@@ -825,6 +825,13 @@ Round-3 single-JVM wins (bench.py at sf0.1, best-of-2):
         print(f"scaling efficiency: {efficiency:.3f} (TAINTED — "
               "BASELINE.md NOT regenerated; see taint rule above)")
         return
+    # Hand-maintained sections (validation snapshots, artifact
+    # pointers) live in BENCH/_appendix.md so a regeneration can
+    # never silently drop them — they are appended verbatim.
+    appendix = os.path.join(HERE, "BENCH", "_appendix.md")
+    if os.path.exists(appendix):
+        with open(appendix) as f:
+            md += "\n" + f.read()
     with open(os.path.join(HERE, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(f"scaling efficiency: {efficiency:.3f}")
