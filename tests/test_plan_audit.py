@@ -76,6 +76,17 @@ def test_minhash_banding_never_all_pairs(spark, queries):
         "candidate pairs must come from (band,bucket) equi-joins")
 
 
+def test_conversion_plan_shape(spark, queries):
+    """The flagship conversion: Arrow MapInPandas extract, broadcast
+    spec join, no sort-merge or cartesian, bounded shuffle count."""
+    ops = _tree_ops(spark, queries["kg_convert_skeleton"](spark, SF_DIR))
+    assert "MapInPandas" in ops, "record extract must be Arrow-batched"
+    assert "BroadcastHashJoin" in ops, "the spec table must broadcast"
+    assert "SortMergeJoin" not in ops
+    assert "CartesianProduct" not in ops
+    assert ops.count("Exchange") <= 5
+
+
 def test_full_audit_expectations_resolve(queries):
     """Every pinned name in the audit table is a real contract query —
     a rename there must update the audit, not silently skip it."""
