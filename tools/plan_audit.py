@@ -199,6 +199,143 @@ EXPECT: dict[str, dict] = {
         "why": "blocked linking: candidate pairs come from block-key "
                "equi-joins (salted), scored by a pandas UDF",
     },
+    "kg_convert_dummy": {
+        "require": ["MapInPandas", "BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+        "max_shuffles": 5,
+        "why": "same Arrow-extract + broadcast-spec emission plan "
+               "over the dummy mapping",
+    },
+    # store point/maintenance ops: the mutation set (one record, a
+    # tombstone batch, a delete list) is small BY CONSTRUCTION, so it
+    # must broadcast and the corpus-sized store side must not shuffle
+    "kg_select_record": {
+        "forbid": ["Exchange", "CartesianProduct"],
+        "max_shuffles": 0,
+        "why": "subject point-lookup is a pushed filter over the "
+               "store scan — no movement at all",
+    },
+    "kg_delete_preserving": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["Exchange", "CartesianProduct", "SortMergeJoin"],
+        "max_shuffles": 0,
+        "why": "the delete set broadcasts; the store side never "
+               "shuffles",
+    },
+    "kg_purge_record": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["Exchange", "CartesianProduct", "SortMergeJoin"],
+        "max_shuffles": 0,
+        "why": "inbound-edge purge = broadcast anti-join on the "
+               "purged subject set",
+    },
+    "kg_upsert_record": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+        "max_shuffles": 3,
+        "why": "the incoming batch broadcasts against the store; "
+               "dedup-on-insert is the only wide stage",
+    },
+    "kg_delete_old_authorities": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+        "max_shuffles": 3,
+        "why": "stale-authority set is harvest-batch-sized and "
+               "broadcasts",
+    },
+    "kg_tombstone_purge": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+        "max_shuffles": 3,
+        "why": "tombstones arrive in OAI-batch quantities and "
+               "broadcast; batch-ordered apply needs no global sort",
+    },
+    "kg_oai_envelope": {
+        "forbid": ["Exchange", "CartesianProduct"],
+        "max_shuffles": 0,
+        "why": "envelope parse/status extraction is a narrow "
+               "projection over the harvested pages",
+    },
+    "kg_batch_windows": {
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+        "max_shuffles": 3,
+        "why": "LIMIT/OFFSET batch windows paginate a sorted key "
+               "range, not a global collect",
+    },
+    "kg_nt_render": {
+        "forbid": ["Exchange", "CartesianProduct", "BatchEvalPython"],
+        "max_shuffles": 0,
+        "why": "N-Triples serialization is a pure Column expression "
+               "projection — JVM-side, zero movement",
+    },
+    "kg_rdfxml_render": {
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "max_shuffles": 1,
+        "why": "RDF/XML groups triples per subject: exactly one "
+               "subject-keyed shuffle",
+    },
+    "kg_reverse_marc": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+        "max_shuffles": 3,
+        "why": "rdf2map reverse conversion broadcasts the inverted "
+               "mapping spec, groups per record",
+    },
+    "kg_rule_engine": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["Exchange", "CartesianProduct", "SortMergeJoin"],
+        "max_shuffles": 0,
+        "why": "stored rules are a config table: broadcast, no "
+               "corpus movement",
+    },
+    "kg_rule_localize": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["Exchange", "CartesianProduct", "SortMergeJoin"],
+        "max_shuffles": 0,
+        "why": "localize rewrites ride the broadcast rule table",
+    },
+    "kg_enrichment_join": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+        "max_shuffles": 5,
+        "why": "harvest responses are HTTP-batch-sized and broadcast "
+               "onto the store by harvest key",
+    },
+    "kg_work_lookup": {
+        "forbid": ["CartesianProduct"],
+        "max_shuffles": 7,
+        "why": "typed-editions/objects/works are all corpus-sized "
+               "projections of the same triple store, so these "
+               "self-joins are legitimately sort-merge at scale "
+               "(BHJ only when AQE sees a small side)",
+    },
+    "docs_ngram_jaccard": {
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_shuffles": 2,
+        "why": "Jaccard verify runs on banded candidate pairs only — "
+               "an equi-join, never all-pairs",
+    },
+    "docs_near_dup_embedding": {
+        "require": ["BroadcastNestedLoopJoin"],
+        "forbid": ["CartesianProduct"],
+        "max_shuffles": 1,
+        "why": "the DOCUMENTED all-pairs correctness baseline (the "
+               "scale path is docs_near_dup_embedding_lsh); pinning "
+               "the BNLJ keeps the exception explicit",
+    },
+    "docs_near_dup_embedding_lsh": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_shuffles": 2,
+        "why": "hyperplane buckets equi-join; ids dedup before the "
+               "vector re-attach",
+    },
+    "events_percentiles": {
+        "forbid": ["CartesianProduct"],
+        "max_shuffles": 1,
+        "why": "exact per-type percentiles: one group shuffle (the "
+               "approx/t-digest swap is events_percentiles_approx)",
+    },
 }
 
 TREE_OP = re.compile(r"^[\s:+*-]*([A-Za-z][A-Za-z0-9]*)\b[^\n]*\((\d+)\)\s*$")
@@ -315,15 +452,17 @@ def audit(only: list[str], out_path: str) -> int:
                 f.write(f"| {r['name']} | {s['loc']} | {s['cols']} | "
                         f"{s['pushed'] or '—'} |\n")
         f.write(
-            "\nExcluded from this audit (eagerly-executing queries whose "
-            "plan is per-round/per-microbatch): kg_resume_replay, "
+            "\nExcluded from this audit — the 8 queries whose "
+            "callables execute eagerly (fixpoint rounds, streaming "
+            "micro-batches, driver-side tolerance checks), so a "
+            "pre-execution explain would either run the job or "
+            "describe only one round: kg_resume_replay, "
             "kg_connected_components, kg_full_pipeline, "
             "docs_streaming_dedup, events_windowed_counts, "
-            "events_percentiles_approx, multimodal_features, "
+            "events_percentiles_approx, multimodal_features, and "
             "ann_lsh_topk (vectorized bucketing builds literal plans "
-            "past the crossover), plus trivial point lookups.  See "
-            "BENCH/CC_TAIL.md for the CC fixpoint's measured exchange "
-            "audit.\n"
+            "past the crossover).  See BENCH/CC_TAIL.md for the CC "
+            "fixpoint's measured per-round exchange audit.\n"
         )
     print(f"\nwrote {out_path}; {len(failures)} failure(s)")
     return 1 if failures else 0
